@@ -44,15 +44,29 @@ def _carry_canonical(t):
     """Exact carry propagation: relaxed uint32 limbs -> (canonical, top carry).
 
     t: (L, *batch) with entries < 2^32. Returns ((L, *batch) canonical < 2^16,
-    (*batch,) final carry).
+    (*batch,) final carry). lax.scan keeps the trace at ~3 ops regardless of L.
     """
-    rows = []
-    carry = jnp.zeros(t.shape[1:], U32)
-    for j in range(t.shape[0]):
-        v = t[j] + carry
-        rows.append(v & MASK)
-        carry = v >> 16
-    return jnp.stack(rows), carry
+
+    def body(carry, row):
+        v = row + carry
+        return v >> 16, v & MASK
+
+    carry, rows = jax.lax.scan(body, jnp.zeros(t.shape[1:], U32), t)
+    return rows, carry
+
+
+def _carry_signed(t):
+    """Signed carry propagation for int32 rows in (-2^16, 2^17+eps).
+
+    Returns ((L, *batch) canonical uint32 limbs, (*batch,) final int32 carry).
+    """
+
+    def body(carry, row):
+        v = row + carry
+        return v >> 16, (v & I32(LIMB_MASK)).astype(U32)
+
+    carry, rows = jax.lax.scan(body, jnp.zeros(t.shape[1:], I32), t)
+    return rows, carry
 
 
 def _sub_p_if_ge(x, spec: FieldSpec, top=None):
@@ -60,17 +74,12 @@ def _sub_p_if_ge(x, spec: FieldSpec, top=None):
 
     `top` (optional, (*batch,)) is a 2^256-overflow limb; nonzero forces >= p.
     """
-    p = spec.p_limbs
-    borrow = jnp.zeros(x.shape[1:], I32)
-    rows = []
-    for j in range(N_LIMBS):
-        v = x[j].astype(I32) - I32(int(p[j])) + borrow
-        rows.append((v & I32(LIMB_MASK)).astype(U32))
-        borrow = v >> 16  # arithmetic shift: 0 or -1
+    p = _consts_col(spec.p_limbs, x.ndim - 1).astype(I32)
+    rows, borrow = _carry_signed(x.astype(I32) - p)
     ge = borrow == 0
     if top is not None:
         ge = ge | (top != 0)
-    return jnp.where(ge, jnp.stack(rows), x)
+    return jnp.where(ge, rows, x)
 
 
 # ---------------------------------------------------------------------------
@@ -86,27 +95,17 @@ def add(a, b, spec: FieldSpec):
 
 def sub(a, b, spec: FieldSpec):
     """(a - b) mod p via a + p - b (branchless)."""
-    p = _consts_col(spec.p_limbs, a.ndim - 1).astype(I32)
-    t = a.astype(I32) + p - b.astype(I32)
-    rows, carry = [], jnp.zeros(t.shape[1:], I32)
-    for j in range(N_LIMBS):
-        v = t[j] + carry
-        rows.append((v & I32(LIMB_MASK)).astype(U32))
-        carry = v >> 16
-    return _sub_p_if_ge(jnp.stack(rows), spec, carry.astype(U32))
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    p = _consts_col(spec.p_limbs, len(batch)).astype(I32)
+    rows, carry = _carry_signed(a.astype(I32) + p - b.astype(I32))
+    return _sub_p_if_ge(rows, spec, carry.astype(U32))
 
 
 def neg(a, spec: FieldSpec):
     """(-a) mod p; maps 0 -> 0."""
     p = _consts_col(spec.p_limbs, a.ndim - 1).astype(I32)
-    t = p - a.astype(I32)
-    rows, carry = [], jnp.zeros(t.shape[1:], I32)
-    for j in range(N_LIMBS):
-        v = t[j] + carry
-        rows.append((v & I32(LIMB_MASK)).astype(U32))
-        carry = v >> 16
-    out = jnp.stack(rows)
-    return jnp.where(is_zero(a)[None], jnp.zeros_like(out), out)
+    rows, _ = _carry_signed(p - a.astype(I32))
+    return jnp.where(is_zero(a)[None], jnp.zeros_like(rows), rows)
 
 
 def double(a, spec: FieldSpec):
@@ -124,9 +123,10 @@ def mont_mul(a, b, spec: FieldSpec):
     inv = U32(spec.inv)
     p = _consts_col(spec.p_limbs, len(batch))
     zrow = jnp.zeros((1, *batch), U32)
-    t = jnp.zeros((N_LIMBS + 1, *batch), U32)
-    for i in range(N_LIMBS):
-        prod = a[i] * b  # (16, *batch)
+    bb = jnp.broadcast_to(b, (N_LIMBS, *batch))
+
+    def body(t, ai):
+        prod = ai * bb  # (16, *batch)
         t = t + jnp.concatenate([prod & MASK, zrow]) \
               + jnp.concatenate([zrow, prod >> 16])
         m = (t[0] * inv) & MASK
@@ -135,6 +135,10 @@ def mont_mul(a, b, spec: FieldSpec):
               + jnp.concatenate([zrow, prod >> 16])
         carry = t[0] >> 16  # low 16 bits are zero by construction of m
         t = jnp.concatenate([t[1:], zrow]).at[0].add(carry)
+        return t, None
+
+    t0 = jnp.zeros((N_LIMBS + 1, *batch), U32)
+    t, _ = jax.lax.scan(body, t0, jnp.broadcast_to(a, (N_LIMBS, *batch)))
     t, _ = _carry_canonical(t)
     # value < 2p < 2^255: row 16 is the only possible overflow indicator
     return _sub_p_if_ge(t[:N_LIMBS], spec, t[N_LIMBS])
