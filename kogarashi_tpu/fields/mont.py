@@ -82,23 +82,49 @@ def _sub_p_if_ge(x, spec: FieldSpec, top=None):
     return jnp.where(ge, rows, x)
 
 
+def _finalize(t, spec: FieldSpec):
+    """Fused carry-propagate + conditional-subtract-p for relaxed rows.
+
+    t: (L, *batch) int32-safe relaxed rows (uint32 < 2^31 or int32 partials),
+    L >= 16, representing a value in [0, 2p). One lax.scan runs both the
+    canonicalizing carry chain and the (value - p) borrow chain, then selects.
+    """
+    L = t.shape[0]
+    p = np.zeros(L, np.int64)
+    p[:N_LIMBS] = spec.p_limbs
+    p_rows = jnp.asarray(p, I32).reshape((L,) + (1,) * (t.ndim - 1))
+    p_rows = jnp.broadcast_to(p_rows, t.shape)
+
+    def body(carries, rows):
+        c1, c2 = carries
+        row, prow = rows
+        v = row.astype(I32) + c1
+        lim = v & I32(LIMB_MASK)
+        d = lim - prow + c2
+        return (v >> 16, d >> 16), (lim.astype(U32), (d & I32(LIMB_MASK)).astype(U32))
+
+    z = jnp.zeros(t.shape[1:], I32)
+    (c1, borrow), (lims, diffs) = jax.lax.scan(body, (z, z), (t, p_rows))
+    # value < 2p < 2^255: rows beyond 15 end up zero; ge iff borrow chain clears
+    ge = borrow == 0
+    return jnp.where(ge, diffs, lims)[:N_LIMBS]
+
+
 # ---------------------------------------------------------------------------
 # Public ops (shape-polymorphic over trailing batch axes)
 # ---------------------------------------------------------------------------
 
 
 def add(a, b, spec: FieldSpec):
-    """(a + b) mod p, canonical in/out."""
-    s, top = _carry_canonical(a + b)
-    return _sub_p_if_ge(s, spec, top)
+    """(a + b) mod p, canonical in/out (single fused scan)."""
+    return _finalize(a + b, spec)
 
 
 def sub(a, b, spec: FieldSpec):
-    """(a - b) mod p via a + p - b (branchless)."""
+    """(a - b) mod p via a + p - b (branchless, single fused scan)."""
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     p = _consts_col(spec.p_limbs, len(batch)).astype(I32)
-    rows, carry = _carry_signed(a.astype(I32) + p - b.astype(I32))
-    return _sub_p_if_ge(rows, spec, carry.astype(U32))
+    return _finalize(a.astype(I32) + p - b.astype(I32), spec)
 
 
 def neg(a, spec: FieldSpec):
@@ -139,9 +165,8 @@ def mont_mul(a, b, spec: FieldSpec):
 
     t0 = jnp.zeros((N_LIMBS + 1, *batch), U32)
     t, _ = jax.lax.scan(body, t0, jnp.broadcast_to(a, (N_LIMBS, *batch)))
-    t, _ = _carry_canonical(t)
-    # value < 2p < 2^255: row 16 is the only possible overflow indicator
-    return _sub_p_if_ge(t[:N_LIMBS], spec, t[N_LIMBS])
+    # rows < ~2^23; value < 2p < 2^255 — fused carry + conditional subtract
+    return _finalize(t, spec)
 
 
 def square(a, spec: FieldSpec):
