@@ -128,12 +128,18 @@ def scalar_mul(cfg: CurveCfg, p, scalars):
     bits = scalar_bits_from_std_limbs(scalars)  # (256, *batch) LSB-first
     bits = bits[::-1]  # MSB-first
 
+    # broadcast a single base point against a batch of scalars (fixed-base use)
+    batch = jnp.broadcast_shapes(cfg.alg.batch_shape(p[0]), scalars.shape[1:])
+    if cfg.alg.batch_shape(p[0]) != batch:
+        ext = p[0].ndim - 1 - len(cfg.alg.batch_shape(p[0]))
+        full = p[0].shape[: ext + 1] + batch
+        p = tuple(jnp.broadcast_to(c, full) for c in p)
+
     def body(acc, bit):
         acc = pdouble(cfg, acc)
         added = padd(cfg, acc, p)
         return pselect(cfg, bit != 0, added, acc), None
 
-    batch = cfg.alg.batch_shape(p[0])
     init = identity(cfg, batch)
     out, _ = jax.lax.scan(body, init, bits)
     return out

@@ -1,0 +1,80 @@
+"""Proving/verifying key material and proofs.
+
+Parity: groth16/src/params.rs (Parameters), verifier.rs (VerifyingKey,
+PreparedVerifyingKey), proof.rs (Proof). Query vectors are *device* batched
+projective points (limb-major pytrees) so proving MSMs consume them directly;
+the small verifying-key points are host pyref points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from ..pyref import AffinePoint, Fq12, G2_SPEC, pairing, miller_loop, final_exp
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: AffinePoint
+    beta_g1: AffinePoint
+    beta_g2: AffinePoint
+    gamma_g2: AffinePoint
+    delta_g1: AffinePoint
+    delta_g2: AffinePoint
+    ic: list  # AffinePoints, len l
+
+    def prepare(self) -> "PreparedVerifyingKey":
+        return PreparedVerifyingKey(
+            alpha_g1_beta_g2=pairing(self.alpha_g1, self.beta_g2),
+            neg_gamma_g2=-self.gamma_g2,
+            neg_delta_g2=-self.delta_g2,
+            ic=list(self.ic),
+        )
+
+
+@dataclass
+class PreparedVerifyingKey:
+    alpha_g1_beta_g2: Fq12
+    neg_gamma_g2: AffinePoint
+    neg_delta_g2: AffinePoint
+    ic: list
+
+
+@dataclass
+class Parameters:
+    vk: VerifyingKey
+    h: Any  # device G1 point batch, len n-1
+    l: Any  # device G1 point batch, len m_l_1
+    a: Any  # device G1 point batch, len l + m_l_1
+    b_g1: Any
+    b_g2: Any  # device G2 point batch
+    l_pub: int  # number of public wires
+    n: int  # FFT domain size
+    mats: Any  # device COO dicts (A, B, C)
+    num_wires: int
+
+
+@dataclass
+class Proof:
+    a: AffinePoint
+    b: AffinePoint  # G2
+    c: AffinePoint
+
+    def verify(self, pvk: PreparedVerifyingKey, public_inputs: list[int]):
+        """Three-pairing check (proof.rs:14-50): e(A,B) e(acc,-gamma) e(C,-delta)
+        == e(alpha,beta)."""
+        if len(public_inputs) + 1 != len(pvk.ic):
+            raise ValueError(
+                f"inconsistent public inputs: expected {len(pvk.ic) - 1}, "
+                f"got {len(public_inputs)}"
+            )
+        acc = pvk.ic[0]
+        for x, b in zip(public_inputs, pvk.ic[1:]):
+            acc = acc + x * b
+        lhs = (
+            miller_loop(self.a, self.b)
+            * miller_loop(acc, pvk.neg_gamma_g2)
+            * miller_loop(self.c, pvk.neg_delta_g2)
+        )
+        return final_exp(lhs) == pvk.alpha_g1_beta_g2

@@ -1,0 +1,98 @@
+"""Prover (parity: groth16/src/prover.rs:20-99).
+
+Device pipeline per proof:
+  SpMV Az/Bz/Cz -> batched idft + coset_dft (3 polys stacked on one NTT
+  batch axis) -> pointwise H = A.B - C -> divide by Z on coset -> coset_idft
+  -> 6 MSMs (h, l, a, b_g1, b_g2 split across inputs/aux implicitly by a
+  single MSM over the full assignment each).
+Host: witness synthesis, r/s blinding, final O(1) point algebra.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..curves import G1, G2
+from ..fields import FR_OPS
+from ..fields.spec import FR as FR_SPEC, ints_to_limbs
+from ..ops.msm import msm_jit
+from ..ops.ntt import Domain
+from ..ops.spmv import matvec
+from .circuit import Circuit
+from .keys import Parameters, Proof
+
+
+class Prover:
+    def __init__(self, params: Parameters):
+        self.params = params
+        self._dom = Domain(params.n.bit_length() - 1)
+
+    def create_proof(self, circuit: Circuit, rng: random.Random | None = None) -> Proof:
+        rng = rng or random.Random()
+        p = self.params
+        r_mod = C.R
+        cs = circuit.build()
+        dom = self._dom
+        n = p.n
+        m = cs.m
+
+        # witness vectors
+        z_ints = cs.z_ints()
+        z_dev = FR_OPS.encode(z_ints)  # (16, wires) Montgomery
+
+        # Az, Bz, Cz on device (pad constraint axis to n)
+        evals = [matvec(mat, z_dev, m, FR_SPEC) for mat in p.mats]
+        evals = jnp.stack(
+            [jnp.pad(e, ((0, 0), (0, n - m))) for e in evals], axis=1
+        )  # (16, 3, n)
+
+        # H(X) pipeline
+        coeffs = dom.idft(evals)
+        on_coset = dom.coset_dft(coeffs)
+        a_c, b_c, c_c = on_coset[:, 0], on_coset[:, 1], on_coset[:, 2]
+        h = FR_OPS.sub(FR_OPS.mul(a_c, b_c), c_c)
+        q = dom.coset_idft(dom.divide_by_z_on_coset(h))
+        q_std = FR_OPS.to_std(q)[:, : n - 1]
+
+        # MSMs
+        x_std = jnp.asarray(ints_to_limbs(cs.x).T)
+        w_std = jnp.asarray(ints_to_limbs(cs.w).T)
+        z_std = jnp.concatenate([x_std, w_std], axis=1)
+
+        def dec(point):
+            return G1.decode_points(tuple(c[..., None] for c in point))[0]
+
+        def dec2(point):
+            return G2.decode_points(tuple(c[..., None] for c in point))[0]
+
+        msm_g1 = msm_jit(G1.cfg)
+        msm_g2 = msm_jit(G2.cfg)
+        q_pt = dec(msm_g1(p.h, q_std))
+        l_pt = dec(msm_g1(p.l, w_std))
+        a_answer = dec(msm_g1(p.a, z_std))
+        b1_answer = dec(msm_g1(p.b_g1, z_std))
+        b2_answer = dec2(msm_g2(p.b_g2, z_std))
+
+        vk = p.vk
+        if vk.delta_g1.is_infinity or vk.delta_g2.is_infinity:
+            raise ValueError("subversion CRS attack: delta is identity")
+
+        r = rng.randrange(r_mod)
+        s = rng.randrange(r_mod)
+
+        g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
+        g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
+        g_c = (
+            vk.delta_g1 * (r * s % r_mod)
+            + vk.alpha_g1 * s
+            + vk.beta_g1 * r
+            + a_answer * s
+            + b1_answer * r
+            + q_pt
+            + l_pt
+        )
+        return Proof(a=g_a, b=g_b, c=g_c)

@@ -125,5 +125,13 @@ def msm(cfg: CurveCfg, points, scalars, c: int | None = None):
     return total
 
 
+_JIT_CACHE: dict = {}
+
+
 def msm_jit(cfg: CurveCfg, c: int | None = None):
-    return jax.jit(partial(msm, cfg, c=c))
+    """Process-cached jitted MSM for (curve, window) — same-shape calls share
+    one compile."""
+    key = (cfg.name, c)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(partial(msm, cfg, c=c))
+    return _JIT_CACHE[key]

@@ -1,0 +1,61 @@
+"""Groth16 end-to-end (mirrors groth16/src/lib.rs:28-77 and
+groth16/examples/simple.rs: x^3 + x + 5 = o)."""
+
+import random
+
+import pytest
+
+from kogarashi_tpu.groth16 import Circuit, setup
+from kogarashi_tpu.r1cs import FieldAssignment
+
+
+class DummyCircuit(Circuit):
+    def __init__(self, x=0, o=0):
+        self.x_val = x
+        self.o_val = o
+
+    def synthesize(self, cs):
+        x = FieldAssignment.instance(cs, self.x_val)
+        o = FieldAssignment.instance(cs, self.o_val)
+        c5 = FieldAssignment.constant(cs, 5)
+        sym1 = FieldAssignment.mul(cs, x, x)
+        y = FieldAssignment.mul(cs, sym1, x)
+        sym2 = FieldAssignment.add(cs, y, x)
+        FieldAssignment.enforce_eq(cs, sym2 + c5, o)
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return setup(DummyCircuit(), random.Random(42))
+
+
+@pytest.mark.slow
+def test_prove_verify_roundtrip(keys):
+    prover, verifier = keys
+    proof = prover.create_proof(DummyCircuit(x=3, o=35), random.Random(7))
+    assert verifier.verify(proof, [3, 35])
+
+
+@pytest.mark.slow
+def test_verify_rejects_wrong_inputs(keys):
+    prover, verifier = keys
+    proof = prover.create_proof(DummyCircuit(x=3, o=35), random.Random(7))
+    assert not verifier.verify(proof, [3, 36])
+    assert not verifier.verify(proof, [4, 35])
+
+
+@pytest.mark.slow
+def test_verify_rejects_tampered_proof(keys):
+    prover, verifier = keys
+    proof = prover.create_proof(DummyCircuit(x=3, o=35), random.Random(7))
+    proof.a = proof.a + proof.a.spec.generator
+    assert not verifier.verify(proof, [3, 35])
+
+
+@pytest.mark.slow
+def test_different_witness_same_statement(keys):
+    """x=2 -> o=15; proofs for different instances verify independently."""
+    prover, verifier = keys
+    proof = prover.create_proof(DummyCircuit(x=2, o=15), random.Random(9))
+    assert verifier.verify(proof, [2, 15])
+    assert not verifier.verify(proof, [3, 35])
