@@ -1,0 +1,91 @@
+"""Pedersen vector commitment (parity: nova/src/pedersen.rs).
+
+Key = 2^k + 1 random affine points; commit(m) = sum m_i * g_i. The reference
+samples keys as random-scalar multiples of the generator and commits with a
+naive per-element loop. Here:
+  - key points are sampled by rejection on random x-coordinates (uniform on
+    the curve; valid because G1/Grumpkin have cofactor 1) — two modular pows
+    per candidate instead of a full scalar multiplication;
+  - only the first `active` points are materialized (messages are shorter
+    than 2^k+1; the tail would multiply zero scalars);
+  - the commitment *is* a device MSM over the limb-major point batch, padded
+    to the fixed active length so every commit shares one compiled executable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..curves import G1 as G1_DEV, GRUMPKIN as GRUMPKIN_DEV
+from ..fields.spec import ints_to_limbs
+from ..ops.msm import msm_jit
+from ..pyref.curve import AffinePoint
+
+
+def _device_curve(spec):
+    return {"G1": G1_DEV, "Grumpkin": GRUMPKIN_DEV}[spec.name]
+
+
+def _sqrt_mod(a: int, p: int, g: int, s: int, t: int):
+    """sqrt mod p or None (raw ints; Tonelli-Shanks for p % 4 == 1)."""
+    if a == 0:
+        return 0
+    if p % 4 == 3:
+        y = pow(a, (p + 1) // 4, p)
+        return y if y * y % p == a else None
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    m, c = s, pow(g, t, p)
+    tt, r = pow(a, t, p), pow(a, (t + 1) // 2, p)
+    while tt != 1:
+        i, tmp = 0, tt
+        while tmp != 1:
+            tmp = tmp * tmp % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        tt, r = tt * c % p, r * b % p
+    return r
+
+
+def random_curve_point(spec, rng) -> AffinePoint:
+    """Uniform random point via x-rejection (cofactor-1 curves only)."""
+    F = spec.field
+    p, b = F.p, spec.b.v
+    while True:
+        x = rng.randrange(p)
+        y = _sqrt_mod((x * x % p * x + b) % p, p, F.generator, F.s, F.t)
+        if y is None:
+            continue
+        if rng.randrange(2):
+            y = p - y
+        return AffinePoint(spec, F(x), F(y), False)
+
+
+class PedersenCommitment:
+    def __init__(self, curve_spec, k: int, rng, active: int | None = None):
+        """curve_spec: pyref CurveSpec. Key is logically 2^k + 1 points;
+        `active` bounds how many are materialized (max message length)."""
+        self.spec = curve_spec
+        self.curve = _device_curve(curve_spec)
+        self.key_len = (1 << k) + 1
+        n = min(active, self.key_len) if active is not None else self.key_len
+        self.g = [random_curve_point(curve_spec, rng) for _ in range(n)]
+        self._g_dev = self.curve.encode_points(self.g)
+        self._msm = msm_jit(self.curve.cfg, c=12)
+
+    def commit(self, m: list):
+        """sum m_i g_i -> pyref AffinePoint (device MSM, padded to key len)."""
+        n = len(self.g)
+        assert len(m) <= n, "message longer than materialized commitment key"
+        scalars = list(m) + [0] * (n - len(m))
+        s_dev = jnp.asarray(ints_to_limbs(scalars).T)
+        out = self._msm(self._g_dev, s_dev)
+        return self.curve.decode_points(tuple(c[..., None] for c in out))[0]
+
+    def commit_host(self, m: list):
+        """Naive host commit (oracle/cross-check)."""
+        acc = self.spec.identity_affine()
+        for v, g in zip(m, self.g):
+            acc = acc + v * g
+        return acc

@@ -24,7 +24,10 @@ class CurveSpec:
         self.generator = AffinePoint(self, generator_xy[0], generator_xy[1], False)
 
     def identity_affine(self):
-        return AffinePoint(self, self.field_zero(), self.field_zero(), True)
+        # (0, 1, infinity) — matches the reference's ADDITIVE_IDENTITY
+        # (zkstd/src/macros/curve/weierstrass/group.rs:22-26); the y=1
+        # coordinate is observable through transcript absorption.
+        return AffinePoint(self, self.field_zero(), self.field_one(), True)
 
     def identity_projective(self):
         return ProjectivePoint(self, self.field_zero(), self.field_one(), self.field_zero())

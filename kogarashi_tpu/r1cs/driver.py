@@ -31,6 +31,15 @@ class Driver:
     def order_str(self) -> str:
         return f"{self.scalar.p:064x}"
 
+    @property
+    def commit_curve(self) -> CurveSpec:
+        """Curve for witness-vector commitments: scalar field == self.scalar,
+        coordinates in self.base (G1 for Bn254Driver, Grumpkin for
+        GrumpkinDriver) — nova/src/driver.rs `Affine` assoc type."""
+        from ..pyref import G1_SPEC as _G1, GRUMPKIN_SPEC as _GR
+
+        return _G1 if self.scalar.__name__ == "Fr" else _GR
+
     def b3(self) -> int:
         """3 * b of the in-circuit curve, as a scalar-field int."""
         return 3 * self.curve.b.v % self.scalar.p
