@@ -3,7 +3,9 @@
 Parity: groth16/src/params.rs (Parameters), verifier.rs (VerifyingKey,
 PreparedVerifyingKey), proof.rs (Proof). Query vectors are *device* batched
 projective points (limb-major pytrees) so proving MSMs consume them directly;
-the small verifying-key points are host pyref points.
+the small verifying-key points are host pyref points. Verification uses the
+prepared-coefficient Miller loop (one final exponentiation for 3 pairs,
+proof.rs:31-46).
 """
 
 from __future__ import annotations
@@ -11,7 +13,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
-from ..pyref import AffinePoint, Fq12, G2_SPEC, pairing, miller_loop, final_exp
+from ..pyref import AffinePoint, Fq12
+from ..pyref.pairing_fast import (
+    G2Prepared,
+    final_exp_fast,
+    multi_miller_loop,
+)
 
 
 @dataclass
@@ -26,9 +33,13 @@ class VerifyingKey:
 
     def prepare(self) -> "PreparedVerifyingKey":
         return PreparedVerifyingKey(
-            alpha_g1_beta_g2=pairing(self.alpha_g1, self.beta_g2),
-            neg_gamma_g2=-self.gamma_g2,
-            neg_delta_g2=-self.delta_g2,
+            alpha_g1_beta_g2=final_exp_fast(
+                multi_miller_loop(
+                    [(self.alpha_g1, G2Prepared.from_affine(self.beta_g2))]
+                )
+            ),
+            neg_gamma_g2=G2Prepared.from_affine(-self.gamma_g2),
+            neg_delta_g2=G2Prepared.from_affine(-self.delta_g2),
             ic=list(self.ic),
         )
 
@@ -36,8 +47,8 @@ class VerifyingKey:
 @dataclass
 class PreparedVerifyingKey:
     alpha_g1_beta_g2: Fq12
-    neg_gamma_g2: AffinePoint
-    neg_delta_g2: AffinePoint
+    neg_gamma_g2: G2Prepared
+    neg_delta_g2: G2Prepared
     ic: list
 
 
@@ -62,8 +73,8 @@ class Proof:
     c: AffinePoint
 
     def verify(self, pvk: PreparedVerifyingKey, public_inputs: list[int]):
-        """Three-pairing check (proof.rs:14-50): e(A,B) e(acc,-gamma) e(C,-delta)
-        == e(alpha,beta)."""
+        """Three-pair check (proof.rs:14-50):
+        e(A,B) e(acc,-gamma) e(C,-delta) == e(alpha,beta)."""
         if len(public_inputs) + 1 != len(pvk.ic):
             raise ValueError(
                 f"inconsistent public inputs: expected {len(pvk.ic) - 1}, "
@@ -72,9 +83,11 @@ class Proof:
         acc = pvk.ic[0]
         for x, b in zip(public_inputs, pvk.ic[1:]):
             acc = acc + x * b
-        lhs = (
-            miller_loop(self.a, self.b)
-            * miller_loop(acc, pvk.neg_gamma_g2)
-            * miller_loop(self.c, pvk.neg_delta_g2)
+        lhs = multi_miller_loop(
+            [
+                (self.a, G2Prepared.from_affine(self.b)),
+                (acc, pvk.neg_gamma_g2),
+                (self.c, pvk.neg_delta_g2),
+            ]
         )
-        return final_exp(lhs) == pvk.alpha_g1_beta_g2
+        return final_exp_fast(lhs) == pvk.alpha_g1_beta_g2
