@@ -327,16 +327,8 @@ def _encode_prepared(pairs):
     return enc(c0s), enc(c1s), enc(c2s)
 
 
-def multi_miller_loop_device(pairs):
-    """Device Miller loop; pairs as in pyref multi_miller_loop (identity pairs
-    must be pre-filtered). Returns a device Fq12."""
-    live = [(p, q) for p, q in pairs if not p.is_infinity and not q.is_infinity]
-    if not live:
-        return f12_one()
-    n_pairs = len(live)
-    c0s, c1s, c2s = _encode_prepared(live)
-    flags = jnp.asarray(_FOLD_FLAGS)
-
+@partial(jax.jit, static_argnames="n_pairs")
+def _miller_scan(flags, c0s, c1s, c2s, n_pairs: int):
     def body(acc, xs):
         flag, c0, c1, c2 = xs
         acc = jax.lax.cond(flag, f12_sq, lambda x: x, acc)
@@ -348,13 +340,27 @@ def multi_miller_loop_device(pairs):
     return acc
 
 
+def multi_miller_loop_device(pairs):
+    """Device Miller loop; pairs as in pyref multi_miller_loop (identity pairs
+    are skipped). Returns a device Fq12."""
+    live = [(p, q) for p, q in pairs if not p.is_infinity and not q.is_infinity]
+    if not live:
+        return f12_one()
+    c0s, c1s, c2s = _encode_prepared(live)
+    return _miller_scan(jnp.asarray(_FOLD_FLAGS), c0s, c1s, c2s, len(live))
+
+
+_HARD_BITS = np.asarray(
+    [(HARD_PART_EXP >> i) & 1 for i in range(HARD_PART_EXP.bit_length())],
+    dtype=np.uint32,
+)
+
+
+@jax.jit
 def final_exp_device(f):
     """Easy part + generic cyclotomic hard part (scan over exponent bits)."""
     t = f12_mul(f12_conj(f), f12_inv(f))
     t = f12_mul(f12_frobenius(t, 2), t)
-
-    e = HARD_PART_EXP
-    bits = jnp.asarray([(e >> i) & 1 for i in range(e.bit_length())], U32)
 
     def body(carry, bit):
         result, base = carry
@@ -362,7 +368,7 @@ def final_exp_device(f):
         base = f12_sq(base)
         return (result, base), None
 
-    (result, _), _ = jax.lax.scan(body, (f12_one(), t), bits)
+    (result, _), _ = jax.lax.scan(body, (f12_one(), t), jnp.asarray(_HARD_BITS))
     return result
 
 
@@ -371,3 +377,9 @@ def pairing_device(p, q):
     prep = G2Prepared.from_affine(q)
     mm = multi_miller_loop_device([(p, prep)])
     return final_exp_device(mm)
+
+
+# jitted tower entry points (single cacheable executables)
+f12_mul_jit = jax.jit(f12_mul)
+f12_sq_jit = jax.jit(f12_sq)
+f12_inv_jit = jax.jit(f12_inv)

