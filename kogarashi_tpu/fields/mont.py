@@ -30,6 +30,14 @@ import numpy as np
 
 from .spec import FieldSpec, LIMB_MASK, N_LIMBS
 
+import os
+
+# Unroll factor for the inner CIOS/carry scans. Rolled loops (1) keep XLA
+# traces small (fast CPU compiles for tests); full unroll (16) lets XLA fuse
+# each Montgomery multiply into one kernel — crucial on TPU, where rolled
+# scan iterations round-trip the carry state through HBM every ~12 ops.
+UNROLL = int(os.environ.get("KOGARASHI_MONT_UNROLL", "1"))
+
 U32 = jnp.uint32
 I32 = jnp.int32
 MASK = np.uint32(LIMB_MASK)
@@ -51,7 +59,7 @@ def _carry_canonical(t):
         v = row + carry
         return v >> 16, v & MASK
 
-    carry, rows = jax.lax.scan(body, jnp.zeros(t.shape[1:], U32), t)
+    carry, rows = jax.lax.scan(body, jnp.zeros(t.shape[1:], U32), t, unroll=UNROLL)
     return rows, carry
 
 
@@ -65,7 +73,7 @@ def _carry_signed(t):
         v = row + carry
         return v >> 16, (v & I32(LIMB_MASK)).astype(U32)
 
-    carry, rows = jax.lax.scan(body, jnp.zeros(t.shape[1:], I32), t)
+    carry, rows = jax.lax.scan(body, jnp.zeros(t.shape[1:], I32), t, unroll=UNROLL)
     return rows, carry
 
 
@@ -104,7 +112,7 @@ def _finalize(t, spec: FieldSpec):
         return (v >> 16, d >> 16), (lim.astype(U32), (d & I32(LIMB_MASK)).astype(U32))
 
     z = jnp.zeros(t.shape[1:], I32)
-    (c1, borrow), (lims, diffs) = jax.lax.scan(body, (z, z), (t, p_rows))
+    (c1, borrow), (lims, diffs) = jax.lax.scan(body, (z, z), (t, p_rows), unroll=UNROLL)
     # value < 2p < 2^255: rows beyond 15 end up zero; ge iff borrow chain clears
     ge = borrow == 0
     return jnp.where(ge, diffs, lims)[:N_LIMBS]
@@ -164,7 +172,9 @@ def mont_mul(a, b, spec: FieldSpec):
         return t, None
 
     t0 = jnp.zeros((N_LIMBS + 1, *batch), U32)
-    t, _ = jax.lax.scan(body, t0, jnp.broadcast_to(a, (N_LIMBS, *batch)))
+    t, _ = jax.lax.scan(
+        body, t0, jnp.broadcast_to(a, (N_LIMBS, *batch)), unroll=UNROLL
+    )
     # rows < ~2^23; value < 2p < 2^255 — fused carry + conditional subtract
     return _finalize(t, spec)
 

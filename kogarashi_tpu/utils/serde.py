@@ -1,0 +1,253 @@
+"""SCALE-style serialization for proofs, instances and parameters.
+
+The reference derives parity-scale-codec Encode/Decode on everything that
+travels on-chain (nova/src/proof.rs:11, ivc.rs:250, relaxed_r1cs.rs). Wire
+conventions mirrored here:
+  - field elements: 32-byte little-endian of the *Montgomery-form* limbs
+    (Fr(pub [u64;4]) derives Encode on the raw representation);
+  - affine points: x || y || bool(is_infinity) byte;
+  - Vec<T>: SCALE compact length prefix then elements;
+  - u64 compact: SCALE compact integer encoding.
+
+This is the checkpoint/resume substrate: Ivc state (i, z_i, running
+instances/witnesses) round-trips through these codecs, so an IVC chain can
+resume from any step (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from .. import constants as C
+
+
+def _to_mont_bytes(v: int, p: int) -> bytes:
+    return (v * C.MONT_R % p).to_bytes(32, "little")
+
+
+def _from_mont_bytes(b: bytes, p: int) -> int:
+    return int.from_bytes(b, "little") * pow(C.MONT_R, -1, p) % p
+
+
+class Codec:
+    """Append-only SCALE-style encoder."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+    # -- primitives --------------------------------------------------------
+    def compact(self, n: int) -> "Codec":
+        """SCALE compact unsigned integer."""
+        if n < 1 << 6:
+            self.buf += (n << 2).to_bytes(1, "little")
+        elif n < 1 << 14:
+            self.buf += ((n << 2) | 0b01).to_bytes(2, "little")
+        elif n < 1 << 30:
+            self.buf += ((n << 2) | 0b10).to_bytes(4, "little")
+        else:
+            nbytes = (n.bit_length() + 7) // 8
+            self.buf += (((nbytes - 4) << 2) | 0b11).to_bytes(1, "little")
+            self.buf += n.to_bytes(nbytes, "little")
+        return self
+
+    def u8(self, v: int) -> "Codec":
+        self.buf += v.to_bytes(1, "little")
+        return self
+
+    def u64(self, v: int) -> "Codec":
+        self.buf += v.to_bytes(8, "little")
+        return self
+
+    def boolean(self, v: bool) -> "Codec":
+        return self.u8(1 if v else 0)
+
+    # -- crypto types ------------------------------------------------------
+    def field(self, v: int, p: int) -> "Codec":
+        self.buf += _to_mont_bytes(v, p)
+        return self
+
+    def fields(self, vals, p: int) -> "Codec":
+        self.compact(len(vals))
+        for v in vals:
+            self.field(v, p)
+        return self
+
+    def point(self, pt) -> "Codec":
+        """pyref AffinePoint over a prime-field curve."""
+        p = pt.spec.field.p
+        self.field(pt.x.v, p)
+        self.field(pt.y.v, p)
+        self.boolean(pt.is_infinity)
+        return self
+
+
+class Decoder:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        assert len(b) == n, "decode underrun"
+        self.pos += n
+        return b
+
+    def compact(self) -> int:
+        b0 = self.data[self.pos]
+        mode = b0 & 0b11
+        if mode == 0b00:
+            return int.from_bytes(self._take(1), "little") >> 2
+        if mode == 0b01:
+            return int.from_bytes(self._take(2), "little") >> 2
+        if mode == 0b10:
+            return int.from_bytes(self._take(4), "little") >> 2
+        nbytes = (b0 >> 2) + 4
+        self._take(1)
+        return int.from_bytes(self._take(nbytes), "little")
+
+    def u8(self) -> int:
+        return int.from_bytes(self._take(1), "little")
+
+    def u64(self) -> int:
+        return int.from_bytes(self._take(8), "little")
+
+    def boolean(self) -> bool:
+        return self.u8() != 0
+
+    def field(self, p: int) -> int:
+        return _from_mont_bytes(self._take(32), p)
+
+    def fields(self, p: int) -> list[int]:
+        n = self.compact()
+        return [self.field(p) for _ in range(n)]
+
+    def point(self, spec):
+        from ..pyref.curve import AffinePoint
+
+        p = spec.field.p
+        x = self.field(p)
+        y = self.field(p)
+        inf = self.boolean()
+        return AffinePoint(spec, spec.field(x), spec.field(y), inf)
+
+
+# ---------------------------------------------------------------------------
+# High-level: Nova recursive proofs + IVC checkpoint state
+# ---------------------------------------------------------------------------
+
+
+def encode_recursive_proof(proof) -> bytes:
+    """RecursiveProof -> bytes (nova/src/proof.rs Encode shape)."""
+    e1 = proof.u_range_primary.driver
+    e2 = proof.u_range_secondary.driver
+    c = Codec()
+    c.compact(proof.i)
+    c.fields(proof.z0_primary, e1.scalar.p)
+    c.fields(proof.z0_secondary, e2.scalar.p)
+    c.fields(proof.zi_primary, e1.scalar.p)
+    c.fields(proof.zi_secondary, e2.scalar.p)
+    # (u_single_secondary, w_single_secondary)
+    c.point(proof.u_single_secondary.commit_w)
+    c.fields(proof.u_single_secondary.x, e2.scalar.p)
+    c.fields(proof.w_single_secondary.w, e2.scalar.p)
+    # (u_range_primary, w_range_primary)
+    _enc_relaxed(c, proof.u_range_primary, proof.w_range_primary, e1)
+    # (u_range_secondary, w_range_secondary)
+    _enc_relaxed(c, proof.u_range_secondary, proof.w_range_secondary, e2)
+    return c.bytes()
+
+
+def _enc_relaxed(c: Codec, inst, wit, driver):
+    c.point(inst.commit_w)
+    c.point(inst.commit_e)
+    c.field(inst.u, driver.scalar.p)
+    c.fields(inst.x, driver.scalar.p)
+    c.fields(wit.w, driver.scalar.p)
+    c.fields(wit.e, driver.scalar.p)
+
+
+def decode_recursive_proof(data: bytes):
+    from ..nova.proof import RecursiveProof
+    from ..nova.relaxed_r1cs import (
+        R1csInstance,
+        R1csWitness,
+        RelaxedR1csInstance,
+        RelaxedR1csWitness,
+    )
+    from ..r1cs import BN254_DRIVER, GRUMPKIN_DRIVER
+
+    e1, e2 = BN254_DRIVER, GRUMPKIN_DRIVER
+    d = Decoder(data)
+    i = d.compact()
+    z0_p = d.fields(e1.scalar.p)
+    z0_s = d.fields(e2.scalar.p)
+    zi_p = d.fields(e1.scalar.p)
+    zi_s = d.fields(e2.scalar.p)
+    cw = d.point(e2.commit_curve)
+    x = d.fields(e2.scalar.p)
+    w = d.fields(e2.scalar.p)
+    u_single_secondary = R1csInstance(commit_w=cw, x=x)
+    w_single_secondary = R1csWitness(w=w)
+    u_range_primary, w_range_primary = _dec_relaxed(d, e1)
+    u_range_secondary, w_range_secondary = _dec_relaxed(d, e2)
+    return RecursiveProof(
+        i=i,
+        z0_primary=z0_p,
+        z0_secondary=z0_s,
+        zi_primary=zi_p,
+        zi_secondary=zi_s,
+        u_single_secondary=u_single_secondary,
+        w_single_secondary=w_single_secondary,
+        u_range_primary=u_range_primary,
+        w_range_primary=w_range_primary,
+        u_range_secondary=u_range_secondary,
+        w_range_secondary=w_range_secondary,
+    )
+
+
+def _dec_relaxed(d: Decoder, driver):
+    from ..nova.relaxed_r1cs import RelaxedR1csInstance, RelaxedR1csWitness
+
+    cw = d.point(driver.commit_curve)
+    ce = d.point(driver.commit_curve)
+    u = d.field(driver.scalar.p)
+    x = d.fields(driver.scalar.p)
+    w = d.fields(driver.scalar.p)
+    e = d.fields(driver.scalar.p)
+    return (
+        RelaxedR1csInstance(driver=driver, commit_w=cw, commit_e=ce, u=u, x=x),
+        RelaxedR1csWitness(w=w, e=e),
+    )
+
+
+def encode_groth16_proof(proof) -> bytes:
+    """Groth16 Proof {a: G1, b: G2, c: G1} -> bytes. G2 coords as c0 || c1."""
+    c = Codec()
+    c.point(proof.a)
+
+    def g2_point(pt):
+        p = C.Q
+        for coord in (pt.x, pt.y):
+            c.field(coord.c0.v, p)
+            c.field(coord.c1.v, p)
+        c.boolean(pt.is_infinity)
+
+    g2_point(proof.b)
+    c.point(proof.c)
+    return c.bytes()
+
+
+def decode_groth16_proof(data: bytes):
+    from ..groth16.keys import Proof
+    from ..pyref import Fq, Fq2, G1_SPEC, G2_SPEC
+    from ..pyref.curve import AffinePoint
+
+    d = Decoder(data)
+    a = d.point(G1_SPEC)
+    p = C.Q
+    coords = [Fq2(Fq(d.field(p)), Fq(d.field(p))) for _ in range(2)]
+    inf = d.boolean()
+    b = AffinePoint(G2_SPEC, coords[0], coords[1], inf)
+    c_ = d.point(G1_SPEC)
+    return Proof(a=a, b=b, c=c_)
