@@ -100,3 +100,6 @@ def _mk(name, p, generator, s, t, root):
 
 FR = _mk("Fr", C.R, C.FR_GENERATOR, C.FR_S, C.FR_T, C.FR_ROOT_OF_UNITY)
 FQ = _mk("Fq", C.Q, C.FQ_GENERATOR, C.FQ_S, C.FQ_T, C.FQ_ROOT_OF_UNITY)
+# BLS12-381 scalar field = Jubjub base field (255-bit, fits the 16x16 layout;
+# same 2^256 Montgomery radix as the reference's 4xu64 — zkstd/tests/jubjub.rs)
+BLS_FR = _mk("BlsFr", C.BLS_FR, C.BLS_FR_GENERATOR, C.BLS_FR_S, C.BLS_FR_T, C.BLS_FR_ROOT_OF_UNITY)
