@@ -43,9 +43,13 @@ MONT_BITS = 256
 MONT_R = 1 << MONT_BITS
 
 
-def mont_consts(p: int):
-    """(R mod p, R^2 mod p, R^3 mod p, -p^-1 mod 2^64, -p^-1 mod 2^16)."""
-    r1 = MONT_R % p
+def mont_consts(p: int, bits: int = MONT_BITS):
+    """(R mod p, R^2 mod p, R^3 mod p, -p^-1 mod 2^64, -p^-1 mod 2^16).
+
+    `bits` is the Montgomery radix width: 256 for 16-limb fields, 384 for
+    24-limb (the reference's bits_256 / bits_384 split).
+    """
+    r1 = (1 << bits) % p
     r2 = (r1 * r1) % p
     r3 = (r2 * r1) % p
     inv64 = (-pow(p, -1, 1 << 64)) % (1 << 64)

@@ -44,8 +44,8 @@ MASK = np.uint32(LIMB_MASK)
 
 
 def _consts_col(limbs: np.ndarray, batch_ndim: int):
-    """Host (16,) limb consts -> (16, 1, 1, ...) broadcastable device array."""
-    return jnp.asarray(limbs, U32).reshape((N_LIMBS,) + (1,) * batch_ndim)
+    """Host (L,) limb consts -> (L, 1, 1, ...) broadcastable device array."""
+    return jnp.asarray(limbs, U32).reshape((len(limbs),) + (1,) * batch_ndim)
 
 
 def _carry_canonical(t):
@@ -98,8 +98,9 @@ def _finalize(t, spec: FieldSpec):
     canonicalizing carry chain and the (value - p) borrow chain, then selects.
     """
     L = t.shape[0]
+    nl = spec.n_limbs
     p = np.zeros(L, np.int64)
-    p[:N_LIMBS] = spec.p_limbs
+    p[:nl] = spec.p_limbs
     p_rows = jnp.asarray(p, I32).reshape((L,) + (1,) * (t.ndim - 1))
     p_rows = jnp.broadcast_to(p_rows, t.shape)
 
@@ -113,9 +114,9 @@ def _finalize(t, spec: FieldSpec):
 
     z = jnp.zeros(t.shape[1:], I32)
     (c1, borrow), (lims, diffs) = jax.lax.scan(body, (z, z), (t, p_rows), unroll=UNROLL)
-    # value < 2p < 2^255: rows beyond 15 end up zero; ge iff borrow chain clears
+    # value < 2p < 2^(16*nl): rows beyond nl-1 end up zero; ge iff borrow clears
     ge = borrow == 0
-    return jnp.where(ge, diffs, lims)[:N_LIMBS]
+    return jnp.where(ge, diffs, lims)[:nl]
 
 
 # ---------------------------------------------------------------------------
@@ -154,10 +155,11 @@ def mont_mul(a, b, spec: FieldSpec):
     < 2^16 shifted carry; after 16 iterations rows are < ~2^23 << 2^32.
     """
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    nl = spec.n_limbs
     inv = U32(spec.inv)
     p = _consts_col(spec.p_limbs, len(batch))
     zrow = jnp.zeros((1, *batch), U32)
-    bb = jnp.broadcast_to(b, (N_LIMBS, *batch))
+    bb = jnp.broadcast_to(b, (nl, *batch))
 
     def body(t, ai):
         prod = ai * bb  # (16, *batch)
@@ -171,9 +173,9 @@ def mont_mul(a, b, spec: FieldSpec):
         t = jnp.concatenate([t[1:], zrow]).at[0].add(carry)
         return t, None
 
-    t0 = jnp.zeros((N_LIMBS + 1, *batch), U32)
+    t0 = jnp.zeros((nl + 1, *batch), U32)
     t, _ = jax.lax.scan(
-        body, t0, jnp.broadcast_to(a, (N_LIMBS, *batch)), unroll=UNROLL
+        body, t0, jnp.broadcast_to(a, (nl, *batch)), unroll=UNROLL
     )
     # rows < ~2^23; value < 2p < 2^255 — fused carry + conditional subtract
     return _finalize(t, spec)
@@ -219,21 +221,20 @@ def select(cond, a, b):
 
 
 def zeros(batch, spec: FieldSpec):
-    return jnp.zeros((N_LIMBS, *batch), U32)
+    return jnp.zeros((spec.n_limbs, *batch), U32)
 
 
 def ones(batch, spec: FieldSpec):
     return jnp.broadcast_to(
-        _consts_col(spec.r1_limbs, len(batch)), (N_LIMBS, *batch)
+        _consts_col(spec.r1_limbs, len(batch)), (spec.n_limbs, *batch)
     )
 
 
 def const(v: int, spec: FieldSpec, batch_ndim: int = 0):
-    """Host int (standard form) -> (16, 1...) Montgomery limbs on device."""
-    from .. import constants as C
-
+    """Host int (standard form) -> (n_limbs, 1...) Montgomery limbs on device."""
     limbs = np.frombuffer(
-        ((v % spec.p) * C.MONT_R % spec.p).to_bytes(32, "little"), dtype=np.uint16
+        ((v % spec.p) * spec.mont_r % spec.p).to_bytes(2 * spec.n_limbs, "little"),
+        dtype=np.uint16,
     ).astype(np.uint32)
     return _consts_col(limbs, batch_ndim)
 
@@ -254,10 +255,11 @@ def reduce_relaxed(t, spec: FieldSpec):
       V   mod p = montmul(V*R mod p, 1)
     """
     limbs, top = _carry_canonical(t)
-    lo = limbs[:N_LIMBS]
+    nl = spec.n_limbs
+    lo = limbs[:nl]
     nb = t.ndim - 1
     lo_r = mont_mul(lo, _consts_col(spec.r2_limbs, nb), spec)
-    hi = jnp.concatenate([top[None], jnp.zeros((N_LIMBS - 1, *top.shape), U32)])
+    hi = jnp.concatenate([top[None], jnp.zeros((nl - 1, *top.shape), U32)])
     hi_r = mont_mul(hi, _consts_col(spec.r3_limbs, nb), spec)
     vr = add(lo_r, hi_r, spec)
     one_std = jnp.zeros_like(vr).at[0].set(1)
@@ -298,7 +300,7 @@ class Field:
 
     def decode(self, arr):
         a = np.asarray(arr)
-        return self.spec.decode(a.reshape(N_LIMBS, -1).T)
+        return self.spec.decode(a.reshape(self.spec.n_limbs, -1).T)
 
     def const(self, v: int, batch_ndim: int = 0):
         return const(v, self.spec, batch_ndim)

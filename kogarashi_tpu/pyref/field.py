@@ -26,6 +26,7 @@ class PrimeField(metaclass=PrimeFieldMeta):
     s: int = 0
     t: int = 0
     root_of_unity: int = 0
+    n_bytes: int = 32  # serialized width: 32 for bits_256 fields, 48 for bits_384
 
     __slots__ = ("v",)
 
@@ -90,7 +91,7 @@ class PrimeField(metaclass=PrimeFieldMeta):
 
     # -- serialization (parity: bn254/src/fr.rs:73-120 SigUtils<32>) -------
     def to_bytes(self) -> bytes:
-        return self.v.to_bytes(32, "little")
+        return self.v.to_bytes(self.n_bytes, "little")
 
     @classmethod
     def from_bytes(cls, b: bytes):
@@ -101,13 +102,14 @@ class PrimeField(metaclass=PrimeFieldMeta):
 
     @classmethod
     def from_bytes_wide(cls, b: bytes):
-        """64-byte little-endian wide reduction (zkstd from_u512)."""
-        assert len(b) == 64
+        """2x-width little-endian wide reduction (zkstd from_u512)."""
+        assert len(b) == 2 * cls.n_bytes
         return cls(int.from_bytes(b, "little"))
 
     # -- bit decompositions (parity: zkstd to_bits = big-endian 256 bits) --
     def to_bits(self) -> list[int]:
-        return [(self.v >> (255 - i)) & 1 for i in range(256)]
+        n = 8 * self.n_bytes
+        return [(self.v >> (n - 1 - i)) & 1 for i in range(n)]
 
     # -- sqrt (Tonelli-Shanks, parity: bn254/src/fr.rs:165) ----------------
     def sqrt(self):
@@ -154,3 +156,16 @@ class Fq(PrimeField):
     s = C.FQ_S
     t = C.FQ_T
     root_of_unity = C.FQ_ROOT_OF_UNITY
+
+
+class BlsFq(PrimeField):
+    """BLS12-381 base field — the 384-bit width fixture
+    (zkstd/src/arithmetic/limbs/bits_384, zkstd/tests/jubjub.rs
+    bls12_381_field). q = 3 mod 4: S = 1, generator 2, root of unity -1."""
+
+    p = C.BLS_FQ
+    generator = 2
+    s = 1
+    t = (C.BLS_FQ - 1) // 2
+    root_of_unity = C.BLS_FQ - 1
+    n_bytes = 48
