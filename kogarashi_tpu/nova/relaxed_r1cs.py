@@ -48,7 +48,15 @@ class R1csShape:
         return self.witness_length
 
     def _prod(self, rows, z, l):
-        """SparseMatrix::prod with z = [u | x | w] and instance offset l."""
+        """SparseMatrix::prod with z = [u | x | w] and instance offset l.
+
+        Uses the native (C++) cached-CSR engine when available — the 6 SpMVs
+        of every NIFS cross-term (nifs.py:57-62) are the host-side hot loop
+        of IVC proving; the matrix converts to native form once per shape.
+        """
+        csr = self._native_csr(id(rows), rows, l)
+        if csr is not None:
+            return csr.mv(z)
         out = []
         p = self.p
         for row in rows:
@@ -58,6 +66,25 @@ class R1csShape:
                 s += coeff * v
             out.append(s % p)
         return out
+
+    def _native_csr(self, key, rows, l):
+        """Lazily-built native CSR for a row list (None if native unavailable)."""
+        from .. import native
+
+        if not native.available():
+            return None
+        cache = self.__dict__.setdefault("_csr_cache", {})
+        hit = cache.get((key, l))
+        if hit is None:
+            indptr, indices, data = [0], [], []
+            p = self.p
+            for row in rows:
+                for (kind, i), coeff in row.terms.items():
+                    indices.append(i if kind == "x" else i + l)
+                    data.append(coeff % p)
+                indptr.append(len(indices))
+            hit = cache[(key, l)] = native.CSR(indptr, indices, data, p)
+        return hit
 
     def is_sat_relaxed(self, instance: "RelaxedR1csInstance", witness: "RelaxedR1csWitness") -> bool:
         """(A.z) o (B.z) == u*(C.z) + E with z = [u, x, w]."""

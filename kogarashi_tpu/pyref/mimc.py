@@ -75,10 +75,23 @@ class MimcRO:
             self.append(x)
 
     def squeeze(self, num_bits: int):
+        acc_v = self._fold()
+        # low num_bits of acc, reinterpreted in the scalar field
+        return self.scalar_field(acc_v & ((1 << num_bits) - 1))
+
+    def _fold(self) -> int:
+        """acc = 0; for s: acc += s + mimc(s, acc). Native fast path when
+        available (bit-exact vs the pure loop — tests/test_native.py)."""
+        from .. import native
+
+        if native.available():
+            return native.mimc_sponge(
+                [s.v for s in self.state],
+                [c.v for c in self.hasher.constants],
+                self.base_field.p,
+            )
         acc = self.key
         for s in self.state:
             h = self.hasher.hash(s, acc)
             acc = acc + s + h
-        # low num_bits of acc, reinterpreted in the scalar field
-        val = acc.v & ((1 << num_bits) - 1)
-        return self.scalar_field(val)
+        return acc.v
