@@ -48,7 +48,21 @@ def _lib():
     so = _build()
     if so is None:
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        # stale/ABI-incompatible cached .so: drop it and rebuild locally once
+        try:
+            os.remove(so)
+        except OSError:
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.kg_vec_op.argtypes = [u64p, ctypes.c_int, u64p, u64p, u64p, ctypes.c_int64]

@@ -95,6 +95,8 @@ class PrimeField(metaclass=PrimeFieldMeta):
 
     @classmethod
     def from_bytes(cls, b: bytes):
+        if len(b) != cls.n_bytes:  # fixed-width SigUtils<L> contract
+            return None
         v = int.from_bytes(b, "little")
         if v >= cls.p:
             return None

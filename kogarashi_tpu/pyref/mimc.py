@@ -84,7 +84,10 @@ class MimcRO:
         available (bit-exact vs the pure loop — tests/test_native.py)."""
         from .. import native
 
-        if native.available():
+        # the native sponge hardcodes the initial accumulator to 0; only take
+        # the fast path when key is 0 (the reference MimcRO default) so a
+        # nonzero key can never silently diverge between toolchains
+        if native.available() and self.key.v == 0:
             return native.mimc_sponge(
                 [s.v for s in self.state],
                 [c.v for c in self.hasher.constants],

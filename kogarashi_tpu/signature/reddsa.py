@@ -103,10 +103,11 @@ class SecretKey:
 
     @classmethod
     def random(cls, spec: EdwardsSpec = JUBJUB_SPEC, rng=None) -> "SecretKey":
-        k = (rng.randrange if rng else secrets.randbelow)(spec.order)
-        if rng:
+        if rng is not None:
             k = rng.randrange(1, spec.order)
-        return cls(spec, k or 1)
+        else:
+            k = secrets.randbelow(spec.order - 1) + 1
+        return cls(spec, k)
 
     def to_bytes(self) -> bytes:
         return self.sk.to_bytes(32, "little")
