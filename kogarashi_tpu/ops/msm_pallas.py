@@ -1,0 +1,352 @@
+"""Pippenger MSM on fused Pallas kernels — the flagship TPU kernel.
+
+Pipeline (per c-bit signed window; reference algorithm: groth16/src/msm.rs:6-91,
+reformulated for uniform SIMD control flow):
+
+  1. signed digit recode (halves the bucket count; EC negation is free)
+  2. kv-sort (digit, index) — XLA sort, ~1.3 ms at 2^20
+  3. row-gather the affine points into the sorted order, laid out as
+     (limb, scan-pos, chunk) so each scan step is a full-lane vector op
+  4. `scan_mixed` Pallas kernel: per-chunk inclusive prefix sums under mixed
+     EC addition — n point-adds, all limb math in VMEM (ops/ec_pallas.py)
+  5. chunk totals -> recursive `scan_proj` prefix (the cross-chunk offsets)
+  6. bucket_b = S[tail_b] - S[start_b - 1]  (difference trick: every scanned
+     element is a valid group element, so per-segment differences are exact)
+  7. G_w = sum_b b * bucket_b via suffix prefix + reduction
+  8. combine windows MSB-first (c doublings + 1 add per window)
+
+Identity inputs are replaced by the curve generator with digit 0 — bucket 0 is
+never used, and keeping every lane a valid group element is what makes the
+difference trick sound.
+
+Input format: element-major affine rows (n, n_limbs) int32 Montgomery limbs
+(x and y separately), an (n,) infinity mask, and (n_limbs, n) uint32
+standard-form scalars. Element-major rows make the per-window gather a
+contiguous 64-byte row fetch instead of 16 strided 4-byte reads.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import mont_pallas as M
+from ..fields.spec import LIMB_BITS
+from . import ec_pallas as E
+from .ec_pallas import CurveK
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# layout: scan arrays are (n_limbs, L, C); element s of the batch is chunk
+# c = s // L, position j = s % L, i.e. consecutive elements share a chunk.
+# ---------------------------------------------------------------------------
+
+
+def _to_scan(x, L, C):
+    """(n, L*C) element-major -> (n, L, C) scan layout."""
+    return jnp.swapaxes(x.reshape(x.shape[0], C, L), 1, 2)
+
+
+def _from_scan(S):
+    """(n, L, C) -> (n, L*C) element-major."""
+    return jnp.swapaxes(S, 1, 2).reshape(S.shape[0], -1)
+
+
+def _pad_points(ck: CurveK, pts, m_to: int):
+    m = pts[0].shape[-1]
+    if m == m_to:
+        return pts
+    ident = E.identity_tile(ck, (m_to - m,))
+    return tuple(jnp.concatenate([c, i], axis=-1) for c, i in zip(pts, ident))
+
+
+def _level_shape(m: int):
+    C = 1024 if m >= 8 * 1024 else 128
+    return -(-m // C), C
+
+
+def _kogge_prefix(ck: CurveK, pts, interpret: bool):
+    """Inclusive prefix over <= 128 points via shift-and-add (7 map_padd)."""
+    m = pts[0].shape[-1]
+    cur = _pad_points(ck, pts, 128)
+    shift = 1
+    while shift < 128:
+        ident = E.identity_tile(ck, (shift,))
+        shifted = tuple(
+            jnp.concatenate([i, c[..., :-shift]], axis=-1)
+            for c, i in zip(cur, ident)
+        )
+        cur = E.map_padd(ck, cur, shifted, interpret=interpret)
+        shift *= 2
+    return tuple(c[..., :m] for c in cur)
+
+
+def inclusive_prefix(ck: CurveK, pts, interpret: bool = False):
+    """Inclusive prefix sums of a projective batch (n, m) -> same shape."""
+    m = pts[0].shape[-1]
+    if m <= 128:
+        return _kogge_prefix(ck, pts, interpret)
+    L, C = _level_shape(m)
+    pts_p = _pad_points(ck, pts, L * C)
+    arr = tuple(_to_scan(c, L, C) for c in pts_p)
+    S = E.scan_proj(ck, *arr, interpret=interpret)
+    totals = tuple(c[:, L - 1, :] for c in S)  # per-chunk sums, chunk order
+    tp = inclusive_prefix(ck, totals, interpret=interpret)
+    ident1 = E.identity_tile(ck, (1,))
+    tpe = tuple(  # exclusive chunk offsets
+        jnp.concatenate([i, c[..., :-1]], axis=-1) for c, i in zip(tp, ident1)
+    )
+    S_elem = tuple(_from_scan(c) for c in S)
+    off = tuple(
+        jnp.repeat(c, L, axis=-1, total_repeat_length=L * C) for c in tpe
+    )
+    out = E.map_padd(ck, S_elem, off, interpret=interpret)
+    return tuple(c[..., :m] for c in out)
+
+
+def reduce_points(ck: CurveK, pts, interpret: bool = False):
+    """Total sum of a projective batch (n, m) -> (n, 1)."""
+    m = pts[0].shape[-1]
+    while m > 128:
+        L, C = _level_shape(m)
+        pts = _pad_points(ck, pts, L * C)
+        arr = tuple(_to_scan(c, L, C) for c in pts)
+        S = E.scan_proj(ck, *arr, interpret=interpret)
+        pts = tuple(c[:, L - 1, :] for c in S)
+        m = C
+    out = _kogge_prefix(ck, pts, interpret)
+    return tuple(c[..., m - 1 : m] for c in out)
+
+
+# ---------------------------------------------------------------------------
+# signed digit recode
+# ---------------------------------------------------------------------------
+
+
+def signed_digits(scalars, c: int, n_windows: int):
+    """Standard-form scalar limbs (16, n) u32 -> (n_windows, n) i32 in
+    [-2^(c-1), 2^(c-1)].
+
+    d_w + carry chain satisfies sum_w d_w 2^(cw) == scalar. Requires the top
+    window to absorb the final carry (true for BN254-size scalars with
+    c*n_windows >= 255: scalar < 2^254, top digit <= 2^(254-c(w-1)) + 1).
+    """
+    n = scalars.shape[-1]
+    scal_pad = jnp.concatenate([scalars, jnp.zeros((2, n), U32)]).astype(U32)
+    carry = jnp.zeros((n,), I32)
+    half = 1 << (c - 1)
+    out = []
+    for w in range(n_windows):
+        bitpos = w * c
+        limb, shift = bitpos // LIMB_BITS, bitpos % LIMB_BITS
+        raw = scal_pad[limb] >> shift
+        if shift:
+            raw = raw | (scal_pad[limb + 1] << (LIMB_BITS - shift))
+            if c + shift > 2 * LIMB_BITS:
+                raw = raw | (scal_pad[limb + 2] << (2 * LIMB_BITS - shift))
+        elif c > LIMB_BITS:
+            raw = raw | (scal_pad[limb + 1] << LIMB_BITS)
+        raw = (raw & U32((1 << c) - 1)).astype(I32)
+        t = raw + carry
+        sign = (t >= half) & (w + 1 < n_windows)
+        d = jnp.where(sign, t - (1 << c), t)
+        carry = sign.astype(I32)
+        out.append(d)
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# MSM
+# ---------------------------------------------------------------------------
+
+
+def _ripple_rows(v):
+    """(m, n_limbs) i32 rows with lazy/negative limbs -> strict [0, 2^16)."""
+    out = []
+    carry = jnp.zeros(v.shape[:-1], I32)
+    for k in range(v.shape[-1]):
+        t = v[..., k] + carry
+        out.append(t & 0xFFFF)
+        carry = t >> 16
+    return jnp.stack(out, axis=-1)
+
+
+def _pick_L(n: int) -> int:
+    """Scan depth: n = L * C with C a multiple of 128; favour L ~ n/8192."""
+    for L in (128, 64, 32, 16, 8, 4, 2, 1):
+        if n % (L * 128) == 0 and n // L >= 128:
+            return L
+    return 1
+
+
+def msm_pallas(
+    ck: CurveK,
+    x_rows,
+    y_rows,
+    inf,
+    scalars,
+    c: int = 16,
+    gen_xy=None,
+    interpret: bool = False,
+):
+    """sum_i scalars[i] * P_i on one chip.
+
+    x_rows, y_rows: (n, n_limbs) i32 element-major Montgomery affine coords;
+    inf: (n,) bool; scalars: (n_limbs, n) u32 standard-form; gen_xy: host
+    tuple of the generator's Montgomery limb rows (identity replacement).
+    Returns a projective point: three (n_limbs, 1) i32 arrays.
+    """
+    nl = ck.K.n
+    n = x_rows.shape[0]
+    n_windows = -(-256 // c)
+    nb = (1 << (c - 1)) + 1  # signed digits: |d| in [0, 2^(c-1)]
+    nbp = -(-nb // 128) * 128
+    L = _pick_L(n)
+    C = n // L
+
+    # identity inputs -> generator with zero scalar (keeps every lane a real
+    # group element; bucket 0 is never consumed)
+    gx, gy = gen_xy
+    x_rows = jnp.where(inf[:, None], jnp.asarray(gx, I32)[None], x_rows)
+    y_rows = jnp.where(inf[:, None], jnp.asarray(gy, I32)[None], y_rows)
+    scalars = scalars * (~inf).astype(U32)[None]
+
+    digits = signed_digits(scalars, c, n_windows)  # (w, n) i32
+    iota = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
+
+    p_rows_elem = jnp.asarray(
+        np.array(ck.K.p_t, dtype=np.int32)[None], I32
+    )  # (1, nl)
+
+    Gs = []
+    for w in range(n_windows):
+        d = digits[w]
+        key = jnp.abs(d).astype(U32)
+        neg_mask = d < 0
+        ds, perm = jax.lax.sort((key, iota.astype(U32)), num_keys=1)
+        perm = perm.astype(I32)
+        # gather rows, fused into scan layout: row r of chunk c at pos j is
+        # perm[c*L + j]; build (L, C) index grid then gather rows
+        perm_g = jnp.swapaxes(perm.reshape(C, L), 0, 1)  # (L, C)
+        xg = jnp.take(x_rows, perm_g.reshape(-1), axis=0)  # (L*C, nl)
+        yg = jnp.take(y_rows, perm_g.reshape(-1), axis=0)
+        sg = jnp.take(neg_mask, perm_g.reshape(-1), axis=0)
+        # free EC negation: y -> p - y, with a borrow ripple back to strict
+        # limbs (the kernels require limbs in [0, 2^16))
+        yg = jnp.where(sg[:, None], _ripple_rows(p_rows_elem - yg), yg)
+        # (L*C, nl) -> (nl, L, C)
+        xg = jnp.transpose(xg.reshape(L, C, nl), (2, 0, 1))
+        yg = jnp.transpose(yg.reshape(L, C, nl), (2, 0, 1))
+
+        S = E.scan_mixed(ck, xg, yg, interpret=interpret)
+        totals = tuple(s[:, L - 1, :] for s in S)
+        tp = inclusive_prefix(ck, totals, interpret=interpret)  # (nl, C)
+        ident1 = E.identity_tile(ck, (1,))
+        tpe = tuple(
+            jnp.concatenate([i, t[..., :-1]], axis=-1)
+            for t, i in zip(tp, ident1)
+        )
+
+        # bucket endpoints in sorted order
+        ds_i = ds.astype(I32)
+        nxt = jnp.concatenate([ds_i[1:], jnp.full((1,), -1, I32)])
+        prv = jnp.concatenate([jnp.full((1,), -1, I32), ds_i[:-1]])
+        is_tail = (ds_i != nxt) & (ds_i > 0)
+        is_start = (ds_i != prv) & (ds_i > 0)
+        tail_pos = (
+            jnp.full((nbp,), -1, I32)
+            .at[jnp.where(is_tail, ds_i, nbp)]  # nbp out of range -> dropped
+            .set(iota, mode="drop")
+        )
+        start_pos = (
+            jnp.full((nbp,), -1, I32)
+            .at[jnp.where(is_start, ds_i, nbp)]
+            .set(iota, mode="drop")
+        )
+        have = tail_pos >= 0
+
+        def gather_S(pos):
+            """Global prefix at sorted position `pos` ((nbp,) i32, -1 -> id)."""
+            pc = jnp.clip(pos, 0, n - 1)
+            cc, jj = pc // L, pc % L
+            flat = jj * C + cc
+            vals = tuple(
+                jnp.take(s.reshape(nl, L * C), flat, axis=-1) for s in S
+            )
+            offs = tuple(jnp.take(t, cc, axis=-1) for t in tpe)
+            glob = E.map_padd(ck, vals, offs, interpret=interpret)
+            idp = E.identity_tile(ck, (nbp,))
+            ok = pos >= 0
+            return tuple(jnp.where(ok[None], g, i) for g, i in zip(glob, idp))
+
+        S_tail = gather_S(tail_pos)
+        S_before = gather_S(start_pos - 1)
+        B = E.map_padd(
+            ck,
+            S_tail,
+            (S_before[0], M.neg(S_before[1], ck.K), S_before[2]),
+            interpret=interpret,
+        )
+        idp = E.identity_tile(ck, (nbp,))
+        B = tuple(jnp.where(have[None], b, i) for b, i in zip(B, idp))
+
+        # G_w = sum_b b*B_b = sum of suffix sums over b >= 1
+        Brev = tuple(b[..., ::-1] for b in B)
+        Trev = inclusive_prefix(ck, Brev, interpret=interpret)
+        T = tuple(t[..., ::-1] for t in Trev)
+        tot = reduce_points(ck, T, interpret=interpret)  # includes T_0
+        T0 = tuple(t[..., 0:1] for t in T)
+        G_w = E.map_padd(
+            ck,
+            _pad_points(ck, tot, 128),
+            _pad_points(ck, (T0[0], M.neg(T0[1], ck.K), T0[2]), 128),
+            interpret=interpret,
+        )
+        Gs.append(tuple(g[..., 0:1] for g in G_w))
+
+    # MSB-first combine: acc = 2^c * acc + G_w
+    acc = _pad_points(ck, Gs[-1], 128)
+    for w in range(n_windows - 2, -1, -1):
+        for _ in range(c):
+            acc = E.map_pdouble(ck, acc, interpret=interpret)
+        acc = E.map_padd(ck, acc, _pad_points(ck, Gs[w], 128), interpret=interpret)
+    return tuple(a[..., 0:1] for a in acc)
+
+
+# ---------------------------------------------------------------------------
+# host-side input preparation
+# ---------------------------------------------------------------------------
+
+
+def prepare_points(curve, pts):
+    """pyref affine points -> (x_rows, y_rows, inf, gen_xy) device arrays."""
+    from ..fields.spec import ints_to_limbs
+
+    spec = curve.cfg.alg.spec
+    R = 1 << (16 * spec.n_limbs)
+    xs = ints_to_limbs(
+        [0 if p.is_infinity else (p.x.v * R) % spec.p for p in pts], spec.n_limbs
+    ).astype(np.int32)
+    ys = ints_to_limbs(
+        [0 if p.is_infinity else (p.y.v * R) % spec.p for p in pts], spec.n_limbs
+    ).astype(np.int32)
+    inf = np.array([p.is_infinity for p in pts], dtype=bool)
+    g = curve.pyref_spec.generator
+    gen_xy = (
+        ints_to_limbs([(g.x.v * R) % spec.p], spec.n_limbs)[0].astype(np.int32),
+        ints_to_limbs([(g.y.v * R) % spec.p], spec.n_limbs)[0].astype(np.int32),
+    )
+    return jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(inf), gen_xy
+
+
+def curve_k(curve) -> CurveK:
+    """CurveK for one of the kogarashi_tpu.curves Curve instances."""
+    alg = curve.cfg.alg
+    assert alg.ext_degree == 1, "pallas engine supports base-field curves"
+    return CurveK.make(curve.cfg.name, alg.spec, curve.cfg.b3)

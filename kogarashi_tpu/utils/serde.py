@@ -17,6 +17,7 @@ resume from any step (SURVEY §5).
 from __future__ import annotations
 
 from .. import constants as C
+from ..errors import DecodeError, MalformedProof
 
 
 def _to_mont_bytes(v: int, p: int) -> bytes:
@@ -24,7 +25,15 @@ def _to_mont_bytes(v: int, p: int) -> bytes:
 
 
 def _from_mont_bytes(b: bytes, p: int) -> int:
-    return int.from_bytes(b, "little") * pow(C.MONT_R, -1, p) % p
+    """Strict decode: the Montgomery representation must be canonical (< p).
+
+    The reference decodes `Fr(pub [u64;4])` raw and trusts the producer;
+    an on-chain verifier cannot, so non-canonical field bytes are rejected
+    (VERDICT round 1, missing #4 / weak #7)."""
+    v = int.from_bytes(b, "little")
+    if v >= p:
+        raise DecodeError("non-canonical field element (>= p)")
+    return v * pow(C.MONT_R, -1, p) % p
 
 
 class Codec:
@@ -122,14 +131,25 @@ class Decoder:
         n = self.compact()
         return [self.field(p) for _ in range(n)]
 
-    def point(self, spec):
+    def point(self, spec, validate: bool = True):
+        """Decode an affine point; by default reject off-curve and (for G2)
+        out-of-subgroup points — attacker bytes must not produce a usable
+        point (reference gap: g1.rs:34-59 from_slice_unchecked validates
+        nothing; the torsion checks it does ship are broken BLS12-381
+        imports — see pyref/subgroup.py)."""
         from ..pyref.curve import AffinePoint
 
         p = spec.field.p
-        x = self.field(p)
-        y = self.field(p)
+        x = spec.field(self.field(p))
+        y = spec.field(self.field(p))
         inf = self.boolean()
-        return AffinePoint(spec, spec.field(x), spec.field(y), inf)
+        pt = AffinePoint(spec, x, y, inf)
+        if validate:
+            from ..pyref.subgroup import validate_point
+
+            if not validate_point(pt):
+                raise MalformedProof(f"invalid {spec.name} point")
+        return pt
 
 
 # ---------------------------------------------------------------------------
@@ -249,5 +269,9 @@ def decode_groth16_proof(data: bytes):
     coords = [Fq2(Fq(d.field(p)), Fq(d.field(p))) for _ in range(2)]
     inf = d.boolean()
     b = AffinePoint(G2_SPEC, coords[0], coords[1], inf)
+    from ..pyref.subgroup import validate_point
+
+    if not validate_point(b):
+        raise MalformedProof("invalid G2 point in proof")
     c_ = d.point(G1_SPEC)
     return Proof(a=a, b=b, c=c_)
