@@ -20,16 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, reps=3):
-    """Median wall time of fn(*args) with block_until_ready on the result."""
+    """Median wall time of fn(*args), host-materialising every output leaf
+    inside the timed region (block_until_ready alone proved to be an
+    unreliable clock on the axon platform — see VERDICT r1/r2)."""
     import jax
+    import numpy as np
 
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf)
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 

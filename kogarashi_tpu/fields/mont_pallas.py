@@ -1,93 +1,111 @@
-"""Fully-unrolled Montgomery limb arithmetic for Pallas TPU kernels.
+"""Straight-line Montgomery limb arithmetic for Pallas TPU kernels (13-bit limbs).
 
-This is the speed-of-light layer the round-1 verdict asked for: the rolled
-`lax.scan` CIOS in fields/mont.py round-trips its carry state through HBM on
-every iteration, which makes a 2^20 MSM take ~21 s. Here every multiply is a
-straight-line sequence of (sub, 128)-shaped int32 vector ops that Mosaic keeps
-entirely in registers/VMEM, so an EC point add costs ~35k VPU lane-ops instead
-of dozens of HBM round trips.
+This is the hand-optimised limb engine behind the MSM/EC kernels — the TPU
+analogue of the reference's x86_64 asm module
+(zkstd/src/arithmetic/limbs/bits_256/assembly.rs) and CIOS `mont`
+(zkstd/src/arithmetic/limbs/bits_256/normal.rs:83-269). Target ISA here is
+the TPU VPU: everything is (sub, 128)-shaped int32/uint32 vector ops that
+Mosaic keeps in registers/VMEM.
 
-Element representation (inside a kernel): one int32 array of shape
-(n_limbs, *tile), limb-major, tile = (sub, 128) lanes of independent field
-elements. Limbs are STRICT: in [0, 2^16). Values are bounded by 2p + eps
-(eps ~ 2^245 from the approximate top-limb reduction); this satisfies the
-Walter bound (4p < 2^256), so CIOS Montgomery outputs stay < 2p with NO
-conditional subtraction:
+Why 13-bit limbs (20 limbs per 256-bit element, radix R' = 2^260):
+measured on-chip, u32 multiply runs at full VPU rate, and the cost of a
+Montgomery multiply is dominated by per-product *glue*. With 16-bit limbs
+every 32-bit product must be split into (lo, hi) halves before accumulation
+(2 extra ops per product). With 13-bit limbs, products are < 2^26 and a full
+CIOS pass accumulates at most ~40 of them per column: the column sums stay
+< 2^31.5 < 2^32, so products accumulate *unsplit* in uint32 columns and a
+single carry ripple at the end restores strict limbs. That cuts a Montgomery
+multiply from ~2600 to ~1700 lane-ops.
 
-    mont(A, B) <= A*B/2^256 + p <= (2p+eps)^2/2^256 + p < 1.77p   (BN254/BN254-Fr)
+Bound discipline (exact, no approximate reductions):
 
-All multiplies are 32-bit with both operands < 2^16, so the product never
-wraps; (prod & 0xffff) and (prod >> 16) extract the exact halves. Additions/
-subtractions run in i32 with signed carries and a final sequential ripple back
-to strict limbs.
+  * Limbs are always STRICT: in [0, 2^13). Values are bounded statically,
+    tracked per call site as small multiples of p.
+  * `mm(a, b)` accepts values < 8p and returns < 1.76p:
+      out < A*B/R' + p < 64 p^2 / 2^260 + p < (0.76 + 1) p   (BN254 p, q)
+    (needs 8p < 2^257 <= value capacity 2^260: true for 254-bit moduli).
+  * `modadd` is an exact sum (no reduction): bound = sum of input bounds.
+  * `modsub(a, b, k)` computes a + (k*p - b) for a static even k chosen per
+    call site so k*p >= b's bound: exact, never negative, never wraps.
+  * Every formula in ops/ec_pallas.py carries a static bound proof that all
+    `mm` inputs stay < 8p. There is NO approximate top-limb reduction --
+    the previous engine's 2p+eps slop made `neg`'s 2p - a go negative for
+    a in (2p, 2p+eps] and wrap, which is exactly the class of data-dependent
+    on-chip corruption this rewrite eliminates.
 
-All per-field constants are embedded as scalar literals (Pallas kernels cannot
-capture array constants), broadcast in-kernel by `_rows`.
-
-Parity: replaces zkstd/src/arithmetic/limbs/bits_256/normal.rs (CIOS `mont`,
-`add`, `sub`, lines 4-287) and the x86_64 asm module (assembly.rs) as the
-"hand-optimised native limb engine" — here the target ISA is the TPU VPU.
+Montgomery radix: R' = 2^260 (not the 2^256 used by the 16-bit XLA layer in
+fields/mont.py). Conversions happen only at host boundaries: points are
+encoded directly into x*R' mod p limbs (ops/msm_pallas.py:prepare_points),
+and the single final point is decoded with R'^-1. Scalars stay in standard
+form and never enter this representation.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 import jax.numpy as jnp
 
 from .spec import FieldSpec
 
-MASK = 0xFFFF
+W = 13  # limb width in bits
+WMASK = (1 << W) - 1
 I32 = jnp.int32
 U32 = jnp.uint32
 
 
-def _limb_tuple(v: int, n: int) -> tuple:
-    return tuple((v >> (16 * i)) & MASK for i in range(n))
+def limbs13(v: int, n: int) -> tuple:
+    """Int -> n-tuple of 13-bit limbs (little-endian base 2^13)."""
+    return tuple((v >> (W * i)) & WMASK for i in range(n))
+
+
+def limbs13_to_int(limbs) -> int:
+    return sum(int(l) << (W * i) for i, l in enumerate(limbs))
 
 
 def _rows(vals: tuple, tile: tuple, dtype=I32) -> jnp.ndarray:
-    """Int tuple -> (n, *tile) array built from scalar literals.
-
-    Full-shape scalar broadcasts only: Mosaic cannot broadcast a (1, 1)
-    array into both sublanes and lanes, but scalar -> tile fills are fine."""
+    """Int tuple -> (n, *tile) array built from scalar literals (Mosaic-safe
+    scalar -> tile fills; no array-constant capture)."""
     return jnp.stack([jnp.full(tile, int(v), dtype) for v in vals])
 
 
 @dataclass(frozen=True)
 class MontConsts:
-    """Static per-field constants (plain ints: safe to embed in any kernel)."""
+    """Static per-field constants for the 13-bit engine (plain ints)."""
 
-    n: int  # limb count (16 for 256-bit fields)
-    p_t: tuple  # strict limbs of p
-    two_p_t: tuple  # strict limbs of 2p
-    four_p_t: tuple  # strict limbs of 4p   (4p < 2^256 holds)
-    inv: int  # -p^-1 mod 2^16
-    t1: int  # floor(2p / 2^(16*(n-1))): top-limb threshold for "value >= 2p"
-    t2: int  # floor(4p / 2^(16*(n-1)))
-    one_t: tuple  # R mod p (Montgomery 1)
+    n: int  # limb count (20 for 256-bit fields)
     p: int
+    p_t: tuple  # strict 13-bit limbs of p
+    inv: int  # -p^-1 mod 2^13
+    one_t: tuple  # R' mod p (Montgomery one)
+    r_bits: int  # 260: log2 of the Montgomery radix R'
 
     @staticmethod
     def make(spec: FieldSpec) -> "MontConsts":
-        n, p = spec.n_limbs, spec.p
-        shift = 16 * (n - 1)
+        assert spec.n_limbs == 16, "13-bit pallas engine covers 256-bit fields"
+        n = 20
+        p = spec.p
+        assert 8 * p < (1 << (W * n - 3)), "need 8p << 2^260 for bound proofs"
         return MontConsts(
             n=n,
-            p_t=_limb_tuple(p, n),
-            two_p_t=_limb_tuple(2 * p, n),
-            four_p_t=_limb_tuple(4 * p, n),
-            inv=int((-pow(p, -1, 1 << 16)) % (1 << 16)),
-            t1=(2 * p) >> shift,
-            t2=(4 * p) >> shift,
-            one_t=_limb_tuple(spec.mont_r % p, n),
             p=p,
+            p_t=limbs13(p, n),
+            inv=int((-pow(p, -1, 1 << W)) % (1 << W)),
+            one_t=limbs13((1 << (W * n)) % p, n),
+            r_bits=W * n,
         )
 
+    def kp_t(self, k: int) -> tuple:
+        """Strict limbs of k*p (k small static int)."""
+        return limbs13(k * self.p, self.n)
+
     def const_tuple(self, v: int) -> tuple:
-        """Standard-form int -> Montgomery-form strict limb tuple."""
-        return _limb_tuple((v % self.p) * (1 << (16 * self.n)) % self.p, self.n)
+        """Standard-form int -> Montgomery(R') strict limb tuple."""
+        return limbs13((v % self.p) * (1 << self.r_bits) % self.p, self.n)
+
+    @property
+    def mont_r(self) -> int:
+        return 1 << self.r_bits
 
 
 def zero(K: MontConsts, tile) -> jnp.ndarray:
@@ -98,118 +116,157 @@ def one(K: MontConsts, tile) -> jnp.ndarray:
     return _rows(K.one_t, tuple(tile))
 
 
-def ripple(v):
-    """Sequential carry propagation -> strict limbs in [0, 2^16).
+def ripple_u(v):
+    """Unsigned carry propagation -> strict limbs. v: uint32 rows (value
+    < 2^260); returns int32 strict rows."""
+    rows = []
+    c = jnp.zeros(v.shape[1:], U32)
+    for k in range(v.shape[0]):
+        t = v[k] + c
+        rows.append((t & U32(WMASK)).astype(I32))
+        c = t >> W
+    return jnp.stack(rows)
 
-    Exact for any int32 rows as long as the represented value is in
-    [0, 2^(16n)) — signed carries (arithmetic >>) handle negative rows.
-    """
+
+def ripple_s(v):
+    """Signed carry propagation -> strict limbs. v: int32 rows, possibly
+    negative per-limb but nonnegative in value; arithmetic shifts."""
     rows = []
     c = jnp.zeros(v.shape[1:], I32)
     for k in range(v.shape[0]):
         t = v[k] + c
-        rows.append(t & MASK)
-        c = t >> 16
+        rows.append(t & I32(WMASK))
+        c = t >> W
     return jnp.stack(rows)
 
 
-def approx_reduce(v, K: MontConsts, bound_p: int):
-    """Subtract 2p/4p based on the top limb so the value drops below 2p + eps.
-
-    `v`: i32 rows, possibly lazy: rows in (-2^17, 2^18), so the top limb
-    estimates the value with < 2^242 absolute slop. `bound_p`: static upper
-    bound on v as a multiple of p. With margin 8, `top >= t+8` guarantees
-    value >= (t+4)*2^240 > subtrahend (no underflow), and the not-reduced
-    residual stays < 2p + 2^245 =: 2p + eps (eps accumulated over the <= ~16
-    chained ops inside one point formula stays << p/256 — every Montgomery
-    multiply resets its output bound to < 1.77p strictly).
-    """
-    if bound_p <= 2:
-        return v
-    tile = v.shape[1:]
-    top = v[K.n - 1]
-    if bound_p > 4:
-        assert bound_p <= 6, "chain too long for two-level reduction"
-        sel4 = (top >= K.t2 + 8).astype(I32)
-        sel2 = jnp.logical_and(top >= K.t1 + 8, top < K.t2 + 8).astype(I32)
-        sub = sel4[None] * _rows(K.four_p_t, tile) + sel2[None] * _rows(K.two_p_t, tile)
-    else:
-        sel2 = (top >= K.t1 + 8).astype(I32)
-        sub = sel2[None] * _rows(K.two_p_t, tile)
-    return v - sub
+def modadd(a, b):
+    """Exact a + b (strict limbs out). Bound: A + B (caller tracks)."""
+    return ripple_s(a + b)
 
 
-def modadd(a, b, K: MontConsts, bound_p: int = 4):
-    """a + b with strict-limb output; value bound ~2p+eps (inputs <= 2p+eps)."""
-    return ripple(approx_reduce(a + b, K, bound_p))
+def modadd3(a, b, c):
+    return ripple_s(a + b + c)
 
 
-def modadd3(a, b, c, K: MontConsts):
-    """a + b + c (inputs <= 2p+eps each) -> strict, <= 2p+eps."""
-    return ripple(approx_reduce(a + b + c, K, 6))
+def modsub(a, b, K: MontConsts, k: int):
+    """a - b + k*p, exact. Caller guarantees k*p >= bound(b); bound out =
+    A + k."""
+    kp = _rows(K.kp_t(k), b.shape[1:])
+    return ripple_s(a + (kp - b))
 
 
-def modsub(a, b, K: MontConsts):
-    """a - b via a + (2p - b); inputs <= 2p+eps -> strict, <= 2p+eps."""
-    return ripple(approx_reduce(a + (_rows(K.two_p_t, b.shape[1:]) - b), K, 4))
+def modsub2(a, b, c, K: MontConsts, kb: int, kc: int):
+    """a - b - c + (kb+kc)*p, exact."""
+    kbp = _rows(K.kp_t(kb), b.shape[1:])
+    kcp = _rows(K.kp_t(kc), c.shape[1:])
+    return ripple_s(a + (kbp - b) + (kcp - c))
 
 
-def modsub2(a, b, c, K: MontConsts):
-    """a - b - c via a + (2p-b) + (2p-c) -> strict, <= 2p+eps."""
-    two_p = _rows(K.two_p_t, b.shape[1:])
-    return ripple(approx_reduce(a + (two_p - b) + (two_p - c), K, 6))
-
-
-def triple(a, K: MontConsts):
-    """3a -> strict, <= 2p+eps."""
-    return ripple(approx_reduce(a + a + a, K, 6))
-
-
-def neg(a, K: MontConsts):
-    """2p - a (== -a mod p); strict in [0, 2p]."""
-    return ripple(_rows(K.two_p_t, a.shape[1:]) - a)
+def neg(a, K: MontConsts, k: int):
+    """k*p - a (== -a mod p), exact; requires bound(a) <= k."""
+    return ripple_s(_rows(K.kp_t(k), a.shape[1:]) - a)
 
 
 def mm(a, b, K: MontConsts):
-    """CIOS Montgomery product a*b*R^-1 mod p, fully unrolled.
+    """CIOS Montgomery product a*b*R'^-1 mod p, fully unrolled.
 
-    Inputs: strict limbs, values <= 2p+eps. Output: strict limbs, value
-    < 1.77p (Walter bound, no conditional subtract). ~16 32-bit multiplies
-    per output limb; all straight-line (sub, 128) vector ops.
+    Inputs: strict 13-bit limbs, values < 8p. Output: strict limbs, < 1.76p.
+    Column bound: each uint32 column accumulates <= ~40 products < 2^26 plus
+    two carry pushes < 2^19 => < 2^31.5 < 2^32 (no splitting, no overflow).
     """
     n = K.n
-    tile = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    # run the product/column phase in uint32: logical >> 16 extracts the hi
-    # half with no sign-fix mask, and all column sums are nonnegative.
-    # Columns are a Python list of (tile,) arrays — Mosaic has no scatter, so
-    # sliced-array updates are expressed as per-column adds (same op count).
     au = a.astype(U32)
-    bu = jnp.broadcast_to(b.astype(U32), (n, *tile))
-    cols: list = [None] * (2 * n + 1)
+    bu = b.astype(U32)
+    cols: list = [None] * (2 * n)
 
     def acc(k, v):
         cols[k] = v if cols[k] is None else cols[k] + v
 
-    # schoolbook product, lazily split into 16-bit column sums (< 2^22 << 2^32)
     for i in range(n):
-        prod = au[i][None] * bu  # (n, *tile); u32 wrap == exact low 32 bits
-        lo = prod & MASK
-        hi = prod >> 16
+        ai = au[i]
         for j in range(n):
-            acc(i + j, lo[j])
-            acc(i + j + 1, hi[j])
-    # interleaved Montgomery reduction: zero columns 0..n-1
+            acc(i + j, ai * bu[j])
     inv = U32(K.inv)
     for k in range(n):
-        m = (cols[k] * inv) & MASK
+        m = (cols[k] * inv) & U32(WMASK)
         for j in range(n):
-            prod = m * U32(K.p_t[j])
-            acc(k + j, prod & MASK)
-            acc(k + j + 1, prod >> 16)
-        # column k is now == 0 mod 2^16; push its carry into column k+1
-        acc(k + 1, cols[k] >> 16)
-    return ripple(jnp.stack([c.astype(I32) for c in cols[n : 2 * n]]))
+            acc(k + j, m * U32(K.p_t[j]))
+        # column k is now 0 mod 2^13; push its carry into column k+1
+        acc(k + 1, cols[k] >> W)
+    return ripple_u(_stack_cols(cols[n : 2 * n], a.shape[1:]))
+
+
+def _stack_cols(cols, tile):
+    """Stack columns, materialising never-touched ones (e.g. the top column,
+    which only the ripple carry reaches) as zeros."""
+    z = None
+    out = []
+    for c in cols:
+        if c is None:
+            if z is None:
+                z = jnp.zeros(tile, U32)
+            c = z
+        out.append(c)
+    return jnp.stack(out)
 
 
 def sqr(a, K: MontConsts):
-    return mm(a, a, K)
+    """Montgomery square: shares cross products (saves ~45% of the product
+    phase). Same bounds as mm. Column check: doubled cross products < 2^27,
+    <= 10 per column + diagonal + reduction terms => < 2^31.6 < 2^32."""
+    n = K.n
+    au = a.astype(U32)
+    cols: list = [None] * (2 * n)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(n):
+        ai = au[i]
+        acc(2 * i, ai * ai)
+        for j in range(i + 1, n):
+            prod2 = (ai * au[j]) << 1  # < 2^27
+            acc(i + j, prod2)
+    inv = U32(K.inv)
+    for k in range(n):
+        m = (cols[k] * inv) & U32(WMASK)
+        for j in range(n):
+            acc(k + j, m * U32(K.p_t[j]))
+        acc(k + 1, cols[k] >> W)
+    return ripple_u(_stack_cols(cols[n : 2 * n], a.shape[1:]))
+
+
+def cond_sub(a, K: MontConsts, k: int):
+    """Exact conditional subtract: a - k*p if a >= k*p else a (strict limbs).
+    One extra borrow ripple + select."""
+    kp = _rows(K.kp_t(k), a.shape[1:])
+    d = a - kp
+    rows, c = [], jnp.zeros(a.shape[1:], I32)
+    for i in range(K.n):
+        t = d[i] + c
+        rows.append(t & I32(WMASK))
+        c = t >> W
+    return jnp.where(c == 0, jnp.stack(rows), a)
+
+
+def canonical(a, K: MontConsts, bound: int):
+    """Value < bound*p (strict limbs) -> canonical [0, p): repeated exact
+    conditional subtraction. Cheap; for kernel epilogues / tiny batches."""
+    k = 1
+    while k < bound:
+        k *= 2
+    while k >= 1:
+        kp = _rows(K.kp_t(k), a.shape[1:])
+        d = a - kp
+        # exact borrow chain
+        rows, c = [], jnp.zeros(a.shape[1:], I32)
+        for i in range(K.n):
+            t = d[i] + c
+            rows.append(t & I32(WMASK))
+            c = t >> W
+        ge = c == 0  # no final borrow -> a >= k*p
+        sub = jnp.stack(rows)
+        a = jnp.where(ge, sub, a)
+        k //= 2
+    return a

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+from ..errors import InconsistentPublicInputsLen
 from ..pyref import AffinePoint, Fq12
 from ..pyref.pairing_fast import (
     G2Prepared,
@@ -76,10 +77,8 @@ class Proof:
         """Three-pair check (proof.rs:14-50):
         e(A,B) e(acc,-gamma) e(C,-delta) == e(alpha,beta)."""
         if len(public_inputs) + 1 != len(pvk.ic):
-            raise ValueError(
-                f"inconsistent public inputs: expected {len(pvk.ic) - 1}, "
-                f"got {len(public_inputs)}"
-            )
+            # error.rs: InconsistentPublicInputsLen
+            raise InconsistentPublicInputsLen(len(pvk.ic) - 1, len(public_inputs))
         acc = pvk.ic[0]
         for x, b in zip(public_inputs, pvk.ic[1:]):
             acc = acc + x * b

@@ -17,6 +17,7 @@ import numpy as np
 
 from .. import constants as C
 from ..curves import G1, G2
+from ..errors import ProverSubVersionCrsAttack
 from ..fields import FR_OPS
 from ..fields.spec import FR as FR_SPEC, ints_to_limbs
 from ..ops.msm import msm_jit
@@ -79,7 +80,8 @@ class Prover:
 
         vk = p.vk
         if vk.delta_g1.is_infinity or vk.delta_g2.is_infinity:
-            raise ValueError("subversion CRS attack: delta is identity")
+            # error.rs: ProverSubVersionCrsAttack
+            raise ProverSubVersionCrsAttack("CRS delta is the identity")
 
         r = rng.randrange(r_mod)
         s = rng.randrange(r_mod)

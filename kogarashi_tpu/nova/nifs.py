@@ -6,6 +6,7 @@ Parity: nova/src/prover.rs (Prover, compute_cross_term), verifier.rs.
 
 from __future__ import annotations
 
+from ..errors import MalformedProof
 from ..pyref import MimcRO
 from .. import constants as C
 from .pedersen import PedersenCommitment
@@ -34,6 +35,15 @@ class NifsProver:
         instance2: R1csInstance,
         witness2: R1csWitness,
     ):
+        if len(instance1.x) != len(instance2.x):
+            raise MalformedProof(
+                f"instance x-length mismatch: {len(instance1.x)} vs "
+                f"{len(instance2.x)} (proof.rs:44-52 shape checks)"
+            )
+        if len(witness1.w) != len(witness2.w):
+            raise MalformedProof(
+                f"witness length mismatch: {len(witness1.w)} vs {len(witness2.w)}"
+            )
         driver = self.shape.driver
         transcript = _transcript(driver)
         t = self.compute_cross_term(instance1, witness1, instance2, witness2)

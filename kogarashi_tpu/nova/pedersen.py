@@ -65,18 +65,43 @@ def random_curve_point(spec, rng) -> AffinePoint:
 class PedersenCommitment:
     def __init__(self, curve_spec, k: int, rng, active: int | None = None):
         """curve_spec: pyref CurveSpec. Key is logically 2^k + 1 points;
-        `active` bounds how many are materialized (max message length)."""
+        `active` bounds how many are materialized (max message length).
+
+        Two sampling modes:
+          * `random.Random`: uniform x-rejection sampling (fast host path;
+            same distribution, different stream).
+          * `XorShiftRng` (utils/xorshift.py): the reference's exact stream —
+            generator * Fr::random(rng) per point, all 2^k + 1 samples drawn
+            (pedersen.rs:10-13), points materialized as one device batched
+            fixed-base scalar-mul instead of a host loop per point."""
         self.spec = curve_spec
         self.curve = _device_curve(curve_spec)
         self.key_len = (1 << k) + 1
         n = min(active, self.key_len) if active is not None else self.key_len
-        self.g = [random_curve_point(curve_spec, rng) for _ in range(n)]
-        self._g_dev = self.curve.encode_points(self.g)
+        self.n_active = n
+        if hasattr(rng, "field_random"):  # reference-stream mode
+            from ..constants import Q, R
+
+            order = {"G1": R, "Grumpkin": Q}[curve_spec.name]
+            scalars = [rng.field_random(order) for _ in range(self.key_len)]
+            s_dev = jnp.asarray(ints_to_limbs(scalars[:n]).T)
+            g_proj = self.curve.scalar_mul(self.curve.generator(1), s_dev)
+            self._g_dev = g_proj
+            self._g_list = None
+        else:
+            self._g_list = [random_curve_point(curve_spec, rng) for _ in range(n)]
+            self._g_dev = self.curve.encode_points(self._g_list)
         self._msm = msm_jit(self.curve.cfg, c=12)
+
+    @property
+    def g(self):
+        if self._g_list is None:
+            self._g_list = self.curve.decode_points(self._g_dev)
+        return self._g_list
 
     def commit(self, m: list):
         """sum m_i g_i -> pyref AffinePoint (device MSM, padded to key len)."""
-        n = len(self.g)
+        n = self.n_active
         assert len(m) <= n, "message longer than materialized commitment key"
         scalars = list(m) + [0] * (n - len(m))
         s_dev = jnp.asarray(ints_to_limbs(scalars).T)

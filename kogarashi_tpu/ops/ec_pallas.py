@@ -1,26 +1,31 @@
 """Fused Pallas TPU kernels for batched short-Weierstrass point arithmetic.
 
-Three kernels built on fields/mont_pallas.py (straight-line int32 Montgomery
-limb math, everything resident in VMEM/registers):
+Built on the 13-bit limb engine (fields/mont_pallas.py). Three kernel families:
 
   - `scan_mixed`: per-chunk inclusive prefix scan under projective+affine
     (mixed) addition — the Pippenger bucket-accumulation workhorse. The scan
-    runs INSIDE the kernel (grid-carried scratch accumulator), so the ~35k
+    runs INSIDE the kernel (grid-carried scratch accumulator), so the ~22k
     lane-ops of each point add never touch HBM.
-  - `scan_proj`:  same, projective+projective (for scanning chunk totals and
-    bucket suffix sums).
+  - `scan_proj`:  same, projective+projective (for chunk totals and bucket
+    suffix sums).
   - `map_padd` / `map_pdouble`: batched pointwise add / double.
 
 Formulas are the complete RCB16 ones (eprint 2015/1060 Alg 7/8/9 for a=0),
 matching curves/point.py and the reference's in-circuit formulas
 (zkstd/src/circuit/gadget/curve.rs:89-158); identity is (0:1:0) and all
-control flow is branchless, so one trace covers identity/doubling/generic.
+control flow is branchless.
+
+Bound proofs (values as multiples of p; `mm` maps <8p inputs to <1.76p):
+projective coordinates arriving at any formula are < 4p and leave < 4p
+(closure); affine inputs are canonical (<= p after in-driver negation).
+Each call below is annotated where the bound is tight. There are NO
+approximate reductions anywhere — every op is exact.
 
 Layout: a batch of points is a pytree of int32 arrays shaped
-(n_limbs, L, C) — limb-major, scan position j in [0,L), chunk c in [0,C) —
-where C = Ct * sub * 128 is tiled as (Ct, sub, 128) lane groups. Chunks are
-columns: element s of chunk c sits at [:, s, c], so each scan step is a full
-(sub, 128)-lane vector op over 128*sub independent chunks.
+(n_limbs=20, L, C) — limb-major, scan position j in [0,L), chunk c in [0,C) —
+where C is tiled as (Ct, sub, 128) lane groups. Element s of chunk c sits at
+[:, s, c]: each scan step is a full (sub, 128)-lane vector op over sub*128
+independent chunks.
 """
 
 from __future__ import annotations
@@ -30,7 +35,6 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -44,11 +48,12 @@ I32 = jnp.int32
 
 @dataclass(frozen=True)
 class CurveK:
-    """Static curve constants for the kernels (base field + b3 in mont form)."""
+    """Static curve constants for the kernels (base field + b3, Montgomery
+    R' = 2^260 form, scalar literals only)."""
 
     name: str
     K: MontConsts
-    b3_t: tuple  # Montgomery-form strict limb tuple of 3b (scalar literals)
+    b3_t: tuple
 
     @staticmethod
     @lru_cache(maxsize=8)
@@ -70,74 +75,84 @@ def identity_tile(ck: CurveK, tile):
 
 
 def madd(ck: CurveK, acc, x2, y2):
-    """Complete mixed add acc(projective) + (x2, y2, 1): RCB16 Alg 8, a=0.
-
-    x2, y2 must be canonical (< p, strict limbs). 11 Montgomery muls.
-    """
+    """Complete mixed add acc(projective, coords < 4p) + (x2, y2, 1) with
+    x2, y2 canonical (<= p): RCB16 Alg 8, a=0. 13 Montgomery muls.
+    Output coords < 3.76p."""
     K = ck.K
     b3 = M._rows(ck.b3_t, acc[0].shape[1:])
     x1, y1, z1 = acc
-    sxy2 = M.ripple(x2 + y2)  # < 2p, strict
-    t0 = M.mm(x1, x2, K)
-    t1 = M.mm(y1, y2, K)
-    t3 = M.mm(M.modadd(x1, y1, K), sxy2, K)
-    t3 = M.modsub2(t3, t0, t1, K)  # x1*y2 + x2*y1
-    t4 = M.modadd(M.mm(z1, y2, K), y1, K)  # y1 + y2*z1
-    t5 = M.modadd(M.mm(z1, x2, K), x1, K)  # x1 + x2*z1
-    t6 = M.triple(t0, K)  # 3*x1*x2
-    t2b3 = M.mm(b3, z1, K)  # b3*z1*z2 (z2 = 1)
-    zz = M.modadd(t1, t2b3, K)
-    tt = M.modsub(t1, t2b3, K)
-    y5 = M.mm(b3, t5, K)
-    x3 = M.modsub(M.mm(t3, tt, K), M.mm(t4, y5, K), K)
-    y3 = M.modadd(M.mm(y5, t6, K), M.mm(tt, zz, K), K)
-    z3 = M.modadd(M.mm(zz, t4, K), M.mm(t6, t3, K), K)
+    t0 = M.mm(x1, x2, K)                      # [1.76]
+    t1 = M.mm(y1, y2, K)                      # [1.76]
+    s1 = M.modadd(x1, y1)                     # [<8]  (tight: 4p + 4p)
+    s2 = M.modadd(x2, y2)                     # [2]
+    t3 = M.mm(s2, s1, K)                      # [1.76]
+    t3 = M.modsub2(t3, t0, t1, K, 2, 2)       # [5.76] = x1y2 + x2y1
+    t4 = M.modadd(M.mm(z1, y2, K), y1)        # [5.76] = y1 + y2 z1
+    t5 = M.modadd(M.mm(z1, x2, K), x1)        # [5.76] = x1 + x2 z1
+    t6 = M.modadd3(t0, t0, t0)                # [5.28] = 3 x1 x2
+    t2 = M.mm(b3, z1, K)                      # [1.76] = b3 z1 (z2 = 1)
+    zz = M.modadd(t1, t2)                     # [3.52]
+    tt = M.modsub(t1, t2, K, 2)               # [3.76]
+    y5 = M.mm(b3, t5, K)                      # [1.76]
+    x3 = M.modsub(M.mm(t3, tt, K), M.mm(t4, y5, K), K, 2)   # [3.76]
+    y3 = M.modadd(M.mm(y5, t6, K), M.mm(tt, zz, K))         # [3.52]
+    z3 = M.modadd(M.mm(zz, t4, K), M.mm(t6, t3, K))         # [3.52]
     return (x3, y3, z3)
 
 
 def padd(ck: CurveK, p, q):
-    """Complete projective add: RCB16 Alg 7, a=0. 14 Montgomery muls."""
+    """Complete projective add (both coord sets < 4p): RCB16 Alg 7, a=0.
+    14 Montgomery muls. Output coords < 3.76p."""
     K = ck.K
     b3 = M._rows(ck.b3_t, p[0].shape[1:])
     x1, y1, z1 = p
     x2, y2, z2 = q
-    t0 = M.mm(x1, x2, K)
-    t1 = M.mm(y1, y2, K)
-    t2 = M.mm(z1, z2, K)
-    t3 = M.modsub2(M.mm(M.modadd(x1, y1, K), M.modadd(x2, y2, K), K), t0, t1, K)
-    t4 = M.modsub2(M.mm(M.modadd(y1, z1, K), M.modadd(y2, z2, K), K), t1, t2, K)
-    t5 = M.modsub2(M.mm(M.modadd(x1, z1, K), M.modadd(x2, z2, K), K), t0, t2, K)
-    t6 = M.triple(t0, K)
-    t2b3 = M.mm(b3, t2, K)
-    zz = M.modadd(t1, t2b3, K)
-    tt = M.modsub(t1, t2b3, K)
-    y5 = M.mm(b3, t5, K)
-    x3 = M.modsub(M.mm(t3, tt, K), M.mm(t4, y5, K), K)
-    y3 = M.modadd(M.mm(y5, t6, K), M.mm(tt, zz, K), K)
-    z3 = M.modadd(M.mm(zz, t4, K), M.mm(t6, t3, K), K)
+    t0 = M.mm(x1, x2, K)                      # [1.76]
+    t1 = M.mm(y1, y2, K)                      # [1.76]
+    t2 = M.mm(z1, z2, K)                      # [1.76]
+    t3 = M.mm(M.modadd(x1, y1), M.modadd(x2, y2), K)        # [<8],[<8] -> [1.76]
+    t3 = M.modsub2(t3, t0, t1, K, 2, 2)       # [5.76]
+    t4 = M.mm(M.modadd(y1, z1), M.modadd(y2, z2), K)
+    t4 = M.modsub2(t4, t1, t2, K, 2, 2)       # [5.76]
+    t5 = M.mm(M.modadd(x1, z1), M.modadd(x2, z2), K)
+    t5 = M.modsub2(t5, t0, t2, K, 2, 2)       # [5.76]
+    t6 = M.modadd3(t0, t0, t0)                # [5.28]
+    t2b3 = M.mm(b3, t2, K)                    # [1.76]
+    zz = M.modadd(t1, t2b3)                   # [3.52]
+    tt = M.modsub(t1, t2b3, K, 2)             # [3.76]
+    y5 = M.mm(b3, t5, K)                      # [1.76]
+    x3 = M.modsub(M.mm(t3, tt, K), M.mm(t4, y5, K), K, 2)   # [3.76]
+    y3 = M.modadd(M.mm(y5, t6, K), M.mm(tt, zz, K))         # [3.52]
+    z3 = M.modadd(M.mm(zz, t4, K), M.mm(t6, t3, K))         # [3.52]
     return (x3, y3, z3)
 
 
 def pdouble(ck: CurveK, p):
-    """Complete projective doubling: RCB16 Alg 9, a=0. 8 Montgomery muls."""
+    """Complete projective doubling (coords < 4p): RCB16 Alg 9, a=0.
+    5 muls + 2 squares. Output coords < 4p (y3 via one exact cond-subtract)."""
     K = ck.K
     b3 = M._rows(ck.b3_t, p[0].shape[1:])
     x, y, z = p
-    t0 = M.mm(y, y, K)
-    z3 = M.modadd(t0, t0, K)
-    z3 = M.modadd(z3, z3, K)
-    z3 = M.modadd(z3, z3, K)  # 8y^2
-    t1 = M.mm(y, z, K)
-    t2 = M.mm(b3, M.mm(z, z, K), K)
-    x3 = M.mm(t2, z3, K)
-    y3 = M.modadd(t0, t2, K)
-    z3 = M.mm(t1, z3, K)
-    t2 = M.triple(t2, K)
-    t0 = M.modsub(t0, t2, K)
-    y3 = M.modadd(M.mm(t0, y3, K), x3, K)
-    x3 = M.mm(t0, M.mm(x, y, K), K)
-    x3 = M.modadd(x3, x3, K)
+    t0 = M.sqr(y, K)                          # [1.76]
+    t0q = M.modadd(M.modadd(t0, t0), M.modadd(t0, t0))      # [7.04] = 4y^2
+    t1 = M.mm(y, z, K)                        # [1.76]
+    t2 = M.mm(b3, M.sqr(z, K), K)             # [1.76]
+    x3h = M.mm(t2, t0q, K)                    # [1.76] = t2 * 4y^2
+    y3 = M.modadd(t0, t2)                     # [3.52]
+    z3 = M.modadd(*(M.mm(t1, t0q, K),) * 2)   # [3.52] = t1 * 8y^2
+    t2t = M.modadd3(t2, t2, t2)               # [5.28]
+    t0s = M.modsub(t0, t2t, K, 6)             # [7.76]
+    # y3 = t0s*y3 + 2*x3h: [1.76 + 3.52] = [5.28]; one exact -2p brings <3.28
+    y3 = M.modadd3(M.mm(t0s, y3, K), x3h, x3h)
+    y3 = M.cond_sub(y3, K, 2)                 # [3.28]
+    x3 = M.modadd(*(M.mm(t0s, M.mm(x, y, K), K),) * 2)      # [3.52]
     return (x3, y3, z3)
+
+
+def pneg(ck: CurveK, p):
+    """(x, -y, z); y < 4p -> 4p - y <= 4p (still a valid <4p-class input:
+    equality only when y == 0 mod p, and every consumer bound has slack)."""
+    return (p[0], M.neg(p[1], ck.K, 4), p[2])
 
 
 # ---------------------------------------------------------------------------
@@ -223,20 +238,64 @@ def _blk_of(L: int, L_blk: int) -> int:
     return b
 
 
-def scan_mixed(ck: CurveK, x, y, L_blk: int = 8, interpret: bool = False):
+@lru_cache(maxsize=16)
+def _scan_xla_jit(ck: CurveK, mixed: bool):
+    def run(arrs):
+        moved = tuple(jnp.moveaxis(a, 1, 0) for a in arrs)  # (L, n, C)
+
+        def body(acc, row):
+            if mixed:
+                acc = madd(ck, acc, row[0], row[1])
+            else:
+                acc = padd(ck, acc, (row[0], row[1], row[2]))
+            return acc, acc
+
+        init = identity_tile(ck, (arrs[0].shape[2],))
+        _, S = jax.lax.scan(body, init, moved)
+        return tuple(jnp.moveaxis(s, 0, 1) for s in S)  # (n, L, C)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _padd_jit(ck: CurveK):
+    return jax.jit(partial(padd, ck))
+
+
+@lru_cache(maxsize=16)
+def _pdouble_jit(ck: CurveK):
+    return jax.jit(partial(pdouble, ck))
+
+
+def _scan_xla(ck: CurveK, arrs, mixed: bool):
+    """Pure-XLA executor for the scan kernels: lax.scan over the L axis.
+
+    Same math as `_scan_kernel` (one traced add body); used on the CPU test
+    path where Mosaic is unavailable and interpret mode is too slow. Jitted
+    with a trace cache so repeated same-shape calls don't re-trace the ~25k-op
+    formula bodies."""
+    return _scan_xla_jit(ck, mixed)(arrs)
+
+
+# mode: "pallas" (Mosaic kernels), "interpret" (pallas interpreter),
+# "xla" (pure-JAX executor; CPU test path)
+def scan_mixed(ck: CurveK, x, y, L_blk: int = 1, mode: str = "pallas"):
     """Per-chunk inclusive scan of mixed adds.
 
     x, y: (n, L, C) i32 canonical affine limbs. Returns (Sx, Sy, Sz):
-    (n, L, C) — S[:, j, c] = sum of chunk c's elements 0..j (projective).
-    """
+    (n, L, C) — S[:, j, c] = sum of chunk c's elements 0..j (projective)."""
     n, L, C = x.shape
-    return _scan_call(ck, L, C, _blk_of(L, L_blk), True, interpret)(x, y)
+    if mode == "xla":
+        return _scan_xla(ck, (x, y), True)
+    return _scan_call(ck, L, C, _blk_of(L, L_blk), True, mode == "interpret")(x, y)
 
 
-def scan_proj(ck: CurveK, x, y, z, L_blk: int = 8, interpret: bool = False):
+def scan_proj(ck: CurveK, x, y, z, L_blk: int = 1, mode: str = "pallas"):
     """Per-chunk inclusive scan of projective adds; args (n, L, C)."""
     n, L, C = x.shape
-    return _scan_call(ck, L, C, _blk_of(L, L_blk), False, interpret)(x, y, z)
+    if mode == "xla":
+        return _scan_xla(ck, (x, y, z), False)
+    return _scan_call(ck, L, C, _blk_of(L, L_blk), False, mode == "interpret")(x, y, z)
 
 
 def _map_kernel(ck: CurveK, op: str, *refs):
@@ -277,12 +336,16 @@ def _map_call(ck: CurveK, C: int, op: str, interpret: bool):
     return run
 
 
-def map_padd(ck: CurveK, p, q, interpret: bool = False):
+def map_padd(ck: CurveK, p, q, mode: str = "pallas"):
     """Pointwise complete add of two (n, C) projective point batches."""
+    if mode == "xla":
+        return _padd_jit(ck)(p, q)
     C = p[0].shape[-1]
-    return _map_call(ck, C, "padd", interpret)(*p, *q)
+    return _map_call(ck, C, "padd", mode == "interpret")(*p, *q)
 
 
-def map_pdouble(ck: CurveK, p, interpret: bool = False):
+def map_pdouble(ck: CurveK, p, mode: str = "pallas"):
+    if mode == "xla":
+        return _pdouble_jit(ck)(p)
     C = p[0].shape[-1]
-    return _map_call(ck, C, "pdouble", interpret)(*p)
+    return _map_call(ck, C, "pdouble", mode == "interpret")(*p)

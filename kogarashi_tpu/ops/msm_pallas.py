@@ -4,7 +4,7 @@ Pipeline (per c-bit signed window; reference algorithm: groth16/src/msm.rs:6-91,
 reformulated for uniform SIMD control flow):
 
   1. signed digit recode (halves the bucket count; EC negation is free)
-  2. kv-sort (digit, index) — XLA sort, ~1.3 ms at 2^20
+  2. kv-sort (digit, index) — XLA sort
   3. row-gather the affine points into the sorted order, laid out as
      (limb, scan-pos, chunk) so each scan step is a full-lane vector op
   4. `scan_mixed` Pallas kernel: per-chunk inclusive prefix sums under mixed
@@ -16,13 +16,14 @@ reformulated for uniform SIMD control flow):
   8. combine windows MSB-first (c doublings + 1 add per window)
 
 Identity inputs are replaced by the curve generator with digit 0 — bucket 0 is
-never used, and keeping every lane a valid group element is what makes the
+never consumed, and keeping every lane a valid group element is what makes the
 difference trick sound.
 
-Input format: element-major affine rows (n, n_limbs) int32 Montgomery limbs
-(x and y separately), an (n,) infinity mask, and (n_limbs, n) uint32
-standard-form scalars. Element-major rows make the per-window gather a
-contiguous 64-byte row fetch instead of 16 strided 4-byte reads.
+Input format: element-major affine rows (n, 20) int32 limbs in the engine's
+13-bit Montgomery form (R' = 2^260; see fields/mont_pallas.py), an (n,)
+infinity mask, and (16, n) uint32 standard-form scalars (16-bit limbs; only
+digit extraction reads them). Element-major rows make the per-window gather a
+contiguous 80-byte row fetch instead of 20 strided 4-byte reads.
 """
 
 from __future__ import annotations
@@ -71,7 +72,7 @@ def _level_shape(m: int):
     return -(-m // C), C
 
 
-def _kogge_prefix(ck: CurveK, pts, interpret: bool):
+def _kogge_prefix(ck: CurveK, pts, mode: str):
     """Inclusive prefix over <= 128 points via shift-and-add (7 map_padd)."""
     m = pts[0].shape[-1]
     cur = _pad_points(ck, pts, 128)
@@ -82,22 +83,22 @@ def _kogge_prefix(ck: CurveK, pts, interpret: bool):
             jnp.concatenate([i, c[..., :-shift]], axis=-1)
             for c, i in zip(cur, ident)
         )
-        cur = E.map_padd(ck, cur, shifted, interpret=interpret)
+        cur = E.map_padd(ck, cur, shifted, mode=mode)
         shift *= 2
     return tuple(c[..., :m] for c in cur)
 
 
-def inclusive_prefix(ck: CurveK, pts, interpret: bool = False):
+def inclusive_prefix(ck: CurveK, pts, mode: str = "pallas"):
     """Inclusive prefix sums of a projective batch (n, m) -> same shape."""
     m = pts[0].shape[-1]
     if m <= 128:
-        return _kogge_prefix(ck, pts, interpret)
+        return _kogge_prefix(ck, pts, mode)
     L, C = _level_shape(m)
     pts_p = _pad_points(ck, pts, L * C)
     arr = tuple(_to_scan(c, L, C) for c in pts_p)
-    S = E.scan_proj(ck, *arr, interpret=interpret)
+    S = E.scan_proj(ck, *arr, mode=mode)
     totals = tuple(c[:, L - 1, :] for c in S)  # per-chunk sums, chunk order
-    tp = inclusive_prefix(ck, totals, interpret=interpret)
+    tp = inclusive_prefix(ck, totals, mode=mode)
     ident1 = E.identity_tile(ck, (1,))
     tpe = tuple(  # exclusive chunk offsets
         jnp.concatenate([i, c[..., :-1]], axis=-1) for c, i in zip(tp, ident1)
@@ -106,21 +107,21 @@ def inclusive_prefix(ck: CurveK, pts, interpret: bool = False):
     off = tuple(
         jnp.repeat(c, L, axis=-1, total_repeat_length=L * C) for c in tpe
     )
-    out = E.map_padd(ck, S_elem, off, interpret=interpret)
+    out = E.map_padd(ck, S_elem, off, mode=mode)
     return tuple(c[..., :m] for c in out)
 
 
-def reduce_points(ck: CurveK, pts, interpret: bool = False):
+def reduce_points(ck: CurveK, pts, mode: str = "pallas"):
     """Total sum of a projective batch (n, m) -> (n, 1)."""
     m = pts[0].shape[-1]
     while m > 128:
         L, C = _level_shape(m)
         pts = _pad_points(ck, pts, L * C)
         arr = tuple(_to_scan(c, L, C) for c in pts)
-        S = E.scan_proj(ck, *arr, interpret=interpret)
+        S = E.scan_proj(ck, *arr, mode=mode)
         pts = tuple(c[:, L - 1, :] for c in S)
         m = C
-    out = _kogge_prefix(ck, pts, interpret)
+    out = _kogge_prefix(ck, pts, mode)
     return tuple(c[..., m - 1 : m] for c in out)
 
 
@@ -134,9 +135,8 @@ def signed_digits(scalars, c: int, n_windows: int):
     [-2^(c-1), 2^(c-1)].
 
     d_w + carry chain satisfies sum_w d_w 2^(cw) == scalar. Requires the top
-    window to absorb the final carry (true for BN254-size scalars with
-    c*n_windows >= 255: scalar < 2^254, top digit <= 2^(254-c(w-1)) + 1).
-    """
+    window to absorb the final carry (true for BN254-size scalars:
+    scalar < 2^254 and c*(n_windows-1) >= 254 - c + 1)."""
     n = scalars.shape[-1]
     scal_pad = jnp.concatenate([scalars, jnp.zeros((2, n), U32)]).astype(U32)
     carry = jnp.zeros((n,), I32)
@@ -166,19 +166,21 @@ def signed_digits(scalars, c: int, n_windows: int):
 # ---------------------------------------------------------------------------
 
 
-def _ripple_rows(v):
-    """(m, n_limbs) i32 rows with lazy/negative limbs -> strict [0, 2^16)."""
-    out = []
-    carry = jnp.zeros(v.shape[:-1], I32)
-    for k in range(v.shape[-1]):
-        t = v[..., k] + carry
-        out.append(t & 0xFFFF)
-        carry = t >> 16
+def _neg_affine_y(y_rows, ck: CurveK):
+    """Canonical (m, 20) y rows -> (p - y) rows, exact, staying canonical
+    (y == 0 maps to p, which the bound proofs absorb)."""
+    p_rows = jnp.asarray(np.array(M.limbs13(ck.K.p, ck.K.n), np.int32))[None]
+    d = p_rows - y_rows
+    out, carry = [], jnp.zeros(d.shape[:-1], I32)
+    for k in range(d.shape[-1]):
+        t = d[..., k] + carry
+        out.append(t & I32(M.WMASK))
+        carry = t >> M.W
     return jnp.stack(out, axis=-1)
 
 
 def _pick_L(n: int) -> int:
-    """Scan depth: n = L * C with C a multiple of 128; favour L ~ n/8192."""
+    """Scan depth: n = L * C with C a multiple of 128; favour C ~ 8192."""
     for L in (128, 64, 32, 16, 8, 4, 2, 1):
         if n % (L * 128) == 0 and n // L >= 128:
             return L
@@ -193,15 +195,14 @@ def msm_pallas(
     scalars,
     c: int = 16,
     gen_xy=None,
-    interpret: bool = False,
+    mode: str = "pallas",
 ):
     """sum_i scalars[i] * P_i on one chip.
 
-    x_rows, y_rows: (n, n_limbs) i32 element-major Montgomery affine coords;
-    inf: (n,) bool; scalars: (n_limbs, n) u32 standard-form; gen_xy: host
-    tuple of the generator's Montgomery limb rows (identity replacement).
-    Returns a projective point: three (n_limbs, 1) i32 arrays.
-    """
+    x_rows, y_rows: (n, 20) i32 element-major 13-bit Montgomery affine coords;
+    inf: (n,) bool; scalars: (16, n) u32 standard-form; gen_xy: host tuple of
+    the generator's limb rows (identity replacement). Returns a projective
+    point: three (20, 1) i32 arrays with coords < 4p (13-bit Montgomery)."""
     nl = ck.K.n
     n = x_rows.shape[0]
     n_windows = -(-256 // c)
@@ -210,8 +211,7 @@ def msm_pallas(
     L = _pick_L(n)
     C = n // L
 
-    # identity inputs -> generator with zero scalar (keeps every lane a real
-    # group element; bucket 0 is never consumed)
+    # identity inputs -> generator with zero scalar
     gx, gy = gen_xy
     x_rows = jnp.where(inf[:, None], jnp.asarray(gx, I32)[None], x_rows)
     y_rows = jnp.where(inf[:, None], jnp.asarray(gy, I32)[None], y_rows)
@@ -220,10 +220,6 @@ def msm_pallas(
     digits = signed_digits(scalars, c, n_windows)  # (w, n) i32
     iota = jax.lax.broadcasted_iota(I32, (n, 1), 0)[:, 0]
 
-    p_rows_elem = jnp.asarray(
-        np.array(ck.K.p_t, dtype=np.int32)[None], I32
-    )  # (1, nl)
-
     Gs = []
     for w in range(n_windows):
         d = digits[w]
@@ -231,22 +227,20 @@ def msm_pallas(
         neg_mask = d < 0
         ds, perm = jax.lax.sort((key, iota.astype(U32)), num_keys=1)
         perm = perm.astype(I32)
-        # gather rows, fused into scan layout: row r of chunk c at pos j is
-        # perm[c*L + j]; build (L, C) index grid then gather rows
+        # gather rows into scan layout: element at chunk cc, pos j is
+        # perm[cc*L + j]
         perm_g = jnp.swapaxes(perm.reshape(C, L), 0, 1)  # (L, C)
         xg = jnp.take(x_rows, perm_g.reshape(-1), axis=0)  # (L*C, nl)
         yg = jnp.take(y_rows, perm_g.reshape(-1), axis=0)
         sg = jnp.take(neg_mask, perm_g.reshape(-1), axis=0)
-        # free EC negation: y -> p - y, with a borrow ripple back to strict
-        # limbs (the kernels require limbs in [0, 2^16))
-        yg = jnp.where(sg[:, None], _ripple_rows(p_rows_elem - yg), yg)
+        yg = jnp.where(sg[:, None], _neg_affine_y(yg, ck), yg)
         # (L*C, nl) -> (nl, L, C)
         xg = jnp.transpose(xg.reshape(L, C, nl), (2, 0, 1))
         yg = jnp.transpose(yg.reshape(L, C, nl), (2, 0, 1))
 
-        S = E.scan_mixed(ck, xg, yg, interpret=interpret)
+        S = E.scan_mixed(ck, xg, yg, mode=mode)
         totals = tuple(s[:, L - 1, :] for s in S)
-        tp = inclusive_prefix(ck, totals, interpret=interpret)  # (nl, C)
+        tp = inclusive_prefix(ck, totals, mode=mode)  # (nl, C)
         ident1 = E.identity_tile(ck, (1,))
         tpe = tuple(
             jnp.concatenate([i, t[..., :-1]], axis=-1)
@@ -280,7 +274,7 @@ def msm_pallas(
                 jnp.take(s.reshape(nl, L * C), flat, axis=-1) for s in S
             )
             offs = tuple(jnp.take(t, cc, axis=-1) for t in tpe)
-            glob = E.map_padd(ck, vals, offs, interpret=interpret)
+            glob = E.map_padd(ck, vals, offs, mode=mode)
             idp = E.identity_tile(ck, (nbp,))
             ok = pos >= 0
             return tuple(jnp.where(ok[None], g, i) for g, i in zip(glob, idp))
@@ -290,23 +284,23 @@ def msm_pallas(
         B = E.map_padd(
             ck,
             S_tail,
-            (S_before[0], M.neg(S_before[1], ck.K), S_before[2]),
-            interpret=interpret,
+            (S_before[0], M.neg(S_before[1], ck.K, 4), S_before[2]),
+            mode=mode,
         )
         idp = E.identity_tile(ck, (nbp,))
         B = tuple(jnp.where(have[None], b, i) for b, i in zip(B, idp))
 
         # G_w = sum_b b*B_b = sum of suffix sums over b >= 1
         Brev = tuple(b[..., ::-1] for b in B)
-        Trev = inclusive_prefix(ck, Brev, interpret=interpret)
+        Trev = inclusive_prefix(ck, Brev, mode=mode)
         T = tuple(t[..., ::-1] for t in Trev)
-        tot = reduce_points(ck, T, interpret=interpret)  # includes T_0
+        tot = reduce_points(ck, T, mode=mode)  # includes T_0
         T0 = tuple(t[..., 0:1] for t in T)
         G_w = E.map_padd(
             ck,
             _pad_points(ck, tot, 128),
-            _pad_points(ck, (T0[0], M.neg(T0[1], ck.K), T0[2]), 128),
-            interpret=interpret,
+            _pad_points(ck, (T0[0], M.neg(T0[1], ck.K, 4), T0[2]), 128),
+            mode=mode,
         )
         Gs.append(tuple(g[..., 0:1] for g in G_w))
 
@@ -314,35 +308,64 @@ def msm_pallas(
     acc = _pad_points(ck, Gs[-1], 128)
     for w in range(n_windows - 2, -1, -1):
         for _ in range(c):
-            acc = E.map_pdouble(ck, acc, interpret=interpret)
-        acc = E.map_padd(ck, acc, _pad_points(ck, Gs[w], 128), interpret=interpret)
+            acc = E.map_pdouble(ck, acc, mode=mode)
+        acc = E.map_padd(ck, acc, _pad_points(ck, Gs[w], 128), mode=mode)
     return tuple(a[..., 0:1] for a in acc)
 
 
 # ---------------------------------------------------------------------------
-# host-side input preparation
+# host-side input preparation / output decoding
 # ---------------------------------------------------------------------------
 
 
-def prepare_points(curve, pts):
-    """pyref affine points -> (x_rows, y_rows, inf, gen_xy) device arrays."""
-    from ..fields.spec import ints_to_limbs
+def _pack13(vals, nl: int) -> np.ndarray:
+    """List of ints (< 2^260) -> (m, nl) int32 rows of 13-bit limbs."""
+    out = np.empty((len(vals), nl), np.int32)
+    for r, v in enumerate(vals):
+        v = int(v)
+        for i in range(nl):
+            out[r, i] = (v >> (M.W * i)) & M.WMASK
+    return out
 
-    spec = curve.cfg.alg.spec
-    R = 1 << (16 * spec.n_limbs)
-    xs = ints_to_limbs(
-        [0 if p.is_infinity else (p.x.v * R) % spec.p for p in pts], spec.n_limbs
-    ).astype(np.int32)
-    ys = ints_to_limbs(
-        [0 if p.is_infinity else (p.y.v * R) % spec.p for p in pts], spec.n_limbs
-    ).astype(np.int32)
-    inf = np.array([p.is_infinity for p in pts], dtype=bool)
+
+def prepare_points(curve, pts):
+    """pyref affine points -> (x_rows, y_rows, inf, gen_xy) device arrays
+    (13-bit limbs, Montgomery R' = 2^260)."""
+    ck = curve_k(curve)
+    p = ck.K.p
+    R = ck.K.mont_r
+    nl = ck.K.n
+    xs = _pack13([0 if q.is_infinity else (q.x.v * R) % p for q in pts], nl)
+    ys = _pack13([0 if q.is_infinity else (q.y.v * R) % p for q in pts], nl)
+    inf = np.array([q.is_infinity for q in pts], dtype=bool)
     g = curve.pyref_spec.generator
     gen_xy = (
-        ints_to_limbs([(g.x.v * R) % spec.p], spec.n_limbs)[0].astype(np.int32),
-        ints_to_limbs([(g.y.v * R) % spec.p], spec.n_limbs)[0].astype(np.int32),
+        _pack13([(g.x.v * R) % p], nl)[0],
+        _pack13([(g.y.v * R) % p], nl)[0],
     )
     return jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(inf), gen_xy
+
+
+def decode_point(curve, out):
+    """(x, y, z) three (20, m) i32 13-bit Montgomery projective coords ->
+    list of pyref affine points (host math, exact)."""
+    ck = curve_k(curve)
+    p, Rinv = ck.K.p, pow(ck.K.mont_r, -1, ck.K.p)
+    arrs = [np.asarray(c) for c in out]
+    m = arrs[0].shape[-1]
+    res = []
+    F = curve.pyref_spec.field
+    Aff = type(curve.pyref_spec.generator)
+    for j in range(m):
+        x, y, z = (
+            M.limbs13_to_int(a[:, j]) * Rinv % p for a in arrs
+        )
+        if z == 0:
+            res.append(curve.pyref_spec.identity_affine())
+        else:
+            zi = pow(z, -1, p)
+            res.append(Aff(curve.pyref_spec, F(x * zi % p), F(y * zi % p), False))
+    return res
 
 
 def curve_k(curve) -> CurveK:

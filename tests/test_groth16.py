@@ -59,3 +59,46 @@ def test_different_witness_same_statement(keys):
     proof = prover.create_proof(DummyCircuit(x=2, o=15), random.Random(9))
     assert verifier.verify(proof, [2, 15])
     assert not verifier.verify(proof, [3, 35])
+
+
+@pytest.mark.slow
+def test_error_taxonomy_wired(keys):
+    """Negative paths raise the reference's error variants
+    (groth16/src/error.rs:1-8)."""
+    from kogarashi_tpu.errors import (
+        InconsistentPublicInputsLen,
+        ProverSubVersionCrsAttack,
+    )
+
+    prover, verifier = keys
+    proof = prover.create_proof(DummyCircuit(x=3, o=35), random.Random(7))
+    with pytest.raises(InconsistentPublicInputsLen):
+        verifier.verify(proof, [3, 35, 1])
+    # subverted CRS: delta forced to identity
+    import copy
+
+    bad = copy.copy(prover)
+    bad.params = copy.copy(prover.params)
+    bad.params.vk = copy.copy(prover.params.vk)
+    bad.params.vk.delta_g1 = proof.a.spec.identity_affine()
+    with pytest.raises(ProverSubVersionCrsAttack):
+        bad.create_proof(DummyCircuit(x=3, o=35), random.Random(7))
+
+
+def test_nifs_shape_validation():
+    from kogarashi_tpu.errors import MalformedProof
+    from kogarashi_tpu.nova.nifs import NifsProver
+
+    class _Inst:
+        def __init__(self, x):
+            self.x = x
+
+    class _Wit:
+        def __init__(self, w):
+            self.w = w
+
+    prover = NifsProver.__new__(NifsProver)
+    with pytest.raises(MalformedProof):
+        prover.prove(_Inst([1, 2]), _Wit([1]), _Inst([1]), _Wit([1]))
+    with pytest.raises(MalformedProof):
+        prover.prove(_Inst([1, 2]), _Wit([1]), _Inst([3, 4]), _Wit([1, 2]))
