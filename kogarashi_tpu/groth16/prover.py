@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import random
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +22,7 @@ from ..errors import ProverSubVersionCrsAttack
 from ..fields import FR_OPS
 from ..fields.spec import FR as FR_SPEC, ints_to_limbs
 from ..ops.msm import msm_jit
+from ..ops.msm_pallas import curve_k, decode_point, msm_pallas
 from ..ops.ntt import Domain
 from ..ops.spmv import matvec
 from .circuit import Circuit
@@ -64,18 +66,23 @@ class Prover:
         w_std = jnp.asarray(ints_to_limbs(cs.w).T)
         z_std = jnp.concatenate([x_std, w_std], axis=1)
 
-        def dec(point):
-            return G1.decode_points(tuple(c[..., None] for c in point))[0]
-
         def dec2(point):
             return G2.decode_points(tuple(c[..., None] for c in point))[0]
 
-        msm_g1 = msm_jit(G1.cfg)
+        mode = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        ck = curve_k(G1)
+
+        def msm_g1(rows, scal):
+            x, y, inf, gen = rows
+            scal = scal.astype(jnp.uint32)
+            out = msm_pallas(ck, x, y, inf, scal, gen_xy=gen, mode=mode)
+            return decode_point(G1, out)[0]
+
         msm_g2 = msm_jit(G2.cfg)
-        q_pt = dec(msm_g1(p.h, q_std))
-        l_pt = dec(msm_g1(p.l, w_std))
-        a_answer = dec(msm_g1(p.a, z_std))
-        b1_answer = dec(msm_g1(p.b_g1, z_std))
+        q_pt = msm_g1(p.h, q_std)
+        l_pt = msm_g1(p.l, w_std)
+        a_answer = msm_g1(p.a, z_std)
+        b1_answer = msm_g1(p.b_g1, z_std)
         b2_answer = dec2(msm_g2(p.b_g2, z_std))
 
         vk = p.vk

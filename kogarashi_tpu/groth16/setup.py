@@ -26,6 +26,8 @@ from ..curves import G1, G2
 from ..curves import point as P
 from ..fields import FR_OPS, mont
 from ..fields.spec import FR as FR_SPEC, ints_to_limbs
+from ..ops.convert import g1_queries_to_rows
+from ..ops.fixed_base import fixed_base_mul
 from ..ops.ntt import Domain
 from ..ops.spmv import r1cs_matrices_device, transposed_matvec
 from ..pyref import G1_SPEC, G2_SPEC
@@ -36,16 +38,16 @@ from .verifier import Verifier
 
 
 def _fixed_base(curve, scalar_ints):
-    """[k_i] G for a batch of host int scalars -> device point batch."""
+    """[k_i] G for a batch of host int scalars -> device point batch
+    (windowed-table fixed-base: ~31 batched adds instead of a 256-deep
+    double-and-add ladder; zksnark.rs:162-193 analogue)."""
     scal = jnp.asarray(ints_to_limbs(scalar_ints).T)
-    g = curve.generator(batch_ndim=1)
-    return curve.scalar_mul(g, scal)
+    return fixed_base_mul(curve, scal)
 
 
 def _scalar_mul_dev(curve, std_scalars):
     """[k_i] G for device standard-form limbs (16, n)."""
-    g = curve.generator(batch_ndim=1)
-    return curve.scalar_mul(g, std_scalars)
+    return fixed_base_mul(curve, std_scalars)
 
 
 def setup(circuit: Circuit, rng: random.Random | None = None):
@@ -116,12 +118,13 @@ def setup(circuit: Circuit, rng: random.Random | None = None):
         delta_g2=delta * g2,
         ic=G1.decode_points(ic_query),
     )
+    # G1 query batches feed the Pallas MSM: convert once to 13-bit affine rows
     params = Parameters(
         vk=vk,
-        h=h_query,
-        l=l_query,
-        a=a_query,
-        b_g1=b_g1_query,
+        h=g1_queries_to_rows(G1, h_query),
+        l=g1_queries_to_rows(G1, l_query),
+        a=g1_queries_to_rows(G1, a_query),
+        b_g1=g1_queries_to_rows(G1, b_g1_query),
         b_g2=b_g2_query,
         l_pub=l_pub,
         n=n,

@@ -16,9 +16,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
 from ..curves import G1 as G1_DEV, GRUMPKIN as GRUMPKIN_DEV
 from ..fields.spec import ints_to_limbs
-from ..ops.msm import msm_jit
+from ..ops.convert import g1_queries_to_rows
+from ..ops.msm_pallas import curve_k, decode_point, msm_pallas, prepare_points
 from ..pyref.curve import AffinePoint
 
 
@@ -81,32 +84,50 @@ class PedersenCommitment:
         self.n_active = n
         if hasattr(rng, "field_random"):  # reference-stream mode
             from ..constants import Q, R
+            from ..ops.fixed_base import fixed_base_mul
 
             order = {"G1": R, "Grumpkin": Q}[curve_spec.name]
             scalars = [rng.field_random(order) for _ in range(self.key_len)]
             s_dev = jnp.asarray(ints_to_limbs(scalars[:n]).T)
-            g_proj = self.curve.scalar_mul(self.curve.generator(1), s_dev)
-            self._g_dev = g_proj
+            g_proj = fixed_base_mul(self.curve, s_dev)
+            self._rows = g1_queries_to_rows(self.curve, g_proj)
             self._g_list = None
         else:
             self._g_list = [random_curve_point(curve_spec, rng) for _ in range(n)]
-            self._g_dev = self.curve.encode_points(self._g_list)
-        self._msm = msm_jit(self.curve.cfg, c=12)
+            self._rows = prepare_points(self.curve, self._g_list)
+        self._ck = curve_k(self.curve)
+        self._mode = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
     @property
     def g(self):
+        """Key points as pyref affine (decoded lazily from the device rows)."""
         if self._g_list is None:
-            self._g_list = self.curve.decode_points(self._g_dev)
+            import numpy as np
+
+            from ..fields import mont_pallas as M
+
+            x, y, inf, _ = self._rows
+            one_col = jnp.asarray(
+                np.array(
+                    M.limbs13(self._ck.K.mont_r % self._ck.K.p, self._ck.K.n),
+                    np.int32,
+                )
+            )[:, None]
+            z = jnp.where(jnp.asarray(np.asarray(inf))[None], 0, one_col)
+            self._g_list = decode_point(
+                self.curve, (jnp.transpose(x), jnp.transpose(y), z)
+            )
         return self._g_list
 
     def commit(self, m: list):
-        """sum m_i g_i -> pyref AffinePoint (device MSM, padded to key len)."""
+        """sum m_i g_i -> pyref AffinePoint (Pallas MSM over the key rows)."""
         n = self.n_active
         assert len(m) <= n, "message longer than materialized commitment key"
         scalars = list(m) + [0] * (n - len(m))
         s_dev = jnp.asarray(ints_to_limbs(scalars).T)
-        out = self._msm(self._g_dev, s_dev)
-        return self.curve.decode_points(tuple(c[..., None] for c in out))[0]
+        x, y, inf, gen = self._rows
+        out = msm_pallas(self._ck, x, y, inf, s_dev, gen_xy=gen, mode=self._mode)
+        return decode_point(self.curve, out)[0]
 
     def commit_host(self, m: list):
         """Naive host commit (oracle/cross-check)."""

@@ -46,113 +46,247 @@ from ..fields.spec import FieldSpec
 I32 = jnp.int32
 
 
+class BaseAlgK:
+    """Base-field coefficient algebra: elements are (nl, *tile) i32 limb
+    arrays. Contract used by the generic formulas below: `mul`/`sqr` output
+    values < 2p (mm gives < 1.76p); add/sub are exact with static bounds."""
+
+    ext = 1
+
+    def __init__(self, K: MontConsts):
+        self.K = K
+
+    def mul(self, a, b):
+        return M.mm(a, b, self.K)
+
+    def sqr(self, a):
+        return M.sqr(a, self.K)
+
+    def add(self, a, b):
+        return M.modadd(a, b)
+
+    def add3(self, a, b, c):
+        return M.modadd3(a, b, c)
+
+    def sub(self, a, b, k):
+        return M.modsub(a, b, self.K, k)
+
+    def sub2(self, a, b, c, kb, kc):
+        return M.modsub2(a, b, c, self.K, kb, kc)
+
+    def neg(self, a, k):
+        return M.neg(a, self.K, k)
+
+    def cond_sub(self, a, k):
+        return M.cond_sub(a, self.K, k)
+
+    def const(self, t, tile):
+        """Limb tuple -> (nl, *tile) const rows."""
+        return M._rows(t, tile)
+
+    def zero(self, tile):
+        return M.zero(self.K, tile)
+
+    def one(self, tile):
+        return M.one(self.K, tile)
+
+
+class Fq2AlgK:
+    """Fq2 = Fq[u]/(u^2+1) algebra: elements are (2*nl, *tile) arrays, c0
+    stacked over c1. Karatsuba mul = 3 base mm; cond-subtracts restore the
+    same `mul output < 2p` contract the generic formulas assume."""
+
+    ext = 2
+
+    def __init__(self, K: MontConsts):
+        self.K = K
+        self.n = K.n
+
+    def _split(self, a):
+        return a[: self.n], a[self.n :]
+
+    def mul(self, a, b):
+        K, n = self.K, self.n
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        m0 = M.mm(a0, b0, K)                       # [1.76]
+        m1 = M.mm(a1, b1, K)
+        m2 = M.mm(M.modadd(a0, a1), M.modadd(b0, b1), K)   # inputs < 8p
+        c0 = M.cond_sub(M.modsub(m0, m1, K, 2), K, 2)      # [3.76] -> [<2]
+        c1 = M.cond_sub(
+            M.cond_sub(M.modsub2(m2, m0, m1, K, 2, 2), K, 4), K, 2
+        )  # [5.76] -> [<2]
+        return jnp.concatenate([c0, c1])
+
+    def sqr(self, a):
+        K = self.K
+        a0, a1 = self._split(a)
+        # (a0+a1)(a0-a1) + 2 a0 a1 u; inputs < 4p componentwise
+        c0 = M.cond_sub(
+            M.mm(M.modadd(a0, a1), M.modsub(a0, a1, K, 4), K), K, 2
+        )
+        m = M.mm(a0, a1, K)
+        c1 = M.cond_sub(M.modadd(m, m), K, 2)
+        return jnp.concatenate([c0, c1])
+
+    def _each(self, f, *arrs):
+        parts0 = f(*[a[: self.n] for a in arrs])
+        parts1 = f(*[a[self.n :] for a in arrs])
+        return jnp.concatenate([parts0, parts1])
+
+    def add(self, a, b):
+        return self._each(M.modadd, a, b)
+
+    def add3(self, a, b, c):
+        return self._each(M.modadd3, a, b, c)
+
+    def sub(self, a, b, k):
+        return self._each(lambda x, y: M.modsub(x, y, self.K, k), a, b)
+
+    def sub2(self, a, b, c, kb, kc):
+        return self._each(
+            lambda x, y, z: M.modsub2(x, y, z, self.K, kb, kc), a, b, c
+        )
+
+    def neg(self, a, k):
+        return self._each(lambda x: M.neg(x, self.K, k), a)
+
+    def cond_sub(self, a, k):
+        return self._each(lambda x: M.cond_sub(x, self.K, k), a)
+
+    def const(self, t, tile):
+        """((c0 limbs), (c1 limbs)) -> (2*nl, *tile)."""
+        return jnp.concatenate([M._rows(t[0], tile), M._rows(t[1], tile)])
+
+    def zero(self, tile):
+        return jnp.zeros((2 * self.n, *tile), I32)
+
+    def one(self, tile):
+        return jnp.concatenate(
+            [M.one(self.K, tile), jnp.zeros((self.n, *tile), I32)]
+        )
+
+
 @dataclass(frozen=True)
 class CurveK:
     """Static curve constants for the kernels (base field + b3, Montgomery
-    R' = 2^260 form, scalar literals only)."""
+    R' = 2^260 form, scalar literals only). ext=2 selects the Fq2 algebra
+    (G2); coord arrays then have 2*nl limb rows."""
 
     name: str
     K: MontConsts
-    b3_t: tuple
+    b3_t: tuple  # limb tuple (ext=1) or pair of limb tuples (ext=2)
+    ext: int = 1
 
     @staticmethod
     @lru_cache(maxsize=8)
-    def make(name: str, spec: FieldSpec, b3_std: int) -> "CurveK":
+    def make(name: str, spec: FieldSpec, b3_std) -> "CurveK":
         K = MontConsts.make(spec)
-        return CurveK(name=name, K=K, b3_t=K.const_tuple(b3_std))
+        if isinstance(b3_std, tuple):
+            b3_t = (K.const_tuple(b3_std[0]), K.const_tuple(b3_std[1]))
+            return CurveK(name=name, K=K, b3_t=b3_t, ext=2)
+        return CurveK(name=name, K=K, b3_t=K.const_tuple(b3_std), ext=1)
+
+    @property
+    def alg(self):
+        return Fq2AlgK(self.K) if self.ext == 2 else BaseAlgK(self.K)
+
+    @property
+    def rows(self) -> int:
+        """Limb rows per coordinate array."""
+        return self.ext * self.K.n
 
     def __hash__(self):
         return hash(self.name)
 
 
 # ---------------------------------------------------------------------------
-# Trace-level point formulas (operate on (n, *tile) i32 limb arrays)
+# Trace-level point formulas, generic over the coefficient algebra.
+#
+# Bound proofs (multiples of p, componentwise for Fq2): `mul`/`sqr` output
+# < 2p; projective coords arrive < 4p (x,z strictly; y <= 4p only for the
+# driver's negated points, absorbed by the slack below) and leave < 4p.
+# Affine inputs are canonical (<= p). Every `mul` input stays < 8p.
 # ---------------------------------------------------------------------------
 
 
 def identity_tile(ck: CurveK, tile):
-    return (M.zero(ck.K, tile), M.one(ck.K, tile), M.zero(ck.K, tile))
+    a = ck.alg
+    return (a.zero(tile), a.one(tile), a.zero(tile))
 
 
 def madd(ck: CurveK, acc, x2, y2):
-    """Complete mixed add acc(projective, coords < 4p) + (x2, y2, 1) with
-    x2, y2 canonical (<= p): RCB16 Alg 8, a=0. 13 Montgomery muls.
-    Output coords < 3.76p."""
-    K = ck.K
-    b3 = M._rows(ck.b3_t, acc[0].shape[1:])
+    """Complete mixed add acc(projective) + (x2, y2, 1): RCB16 Alg 8, a=0."""
+    a = ck.alg
+    b3 = a.const(ck.b3_t, acc[0].shape[1:])
     x1, y1, z1 = acc
-    t0 = M.mm(x1, x2, K)                      # [1.76]
-    t1 = M.mm(y1, y2, K)                      # [1.76]
-    s1 = M.modadd(x1, y1)                     # [<8]  (tight: 4p + 4p)
-    s2 = M.modadd(x2, y2)                     # [2]
-    t3 = M.mm(s2, s1, K)                      # [1.76]
-    t3 = M.modsub2(t3, t0, t1, K, 2, 2)       # [5.76] = x1y2 + x2y1
-    t4 = M.modadd(M.mm(z1, y2, K), y1)        # [5.76] = y1 + y2 z1
-    t5 = M.modadd(M.mm(z1, x2, K), x1)        # [5.76] = x1 + x2 z1
-    t6 = M.modadd3(t0, t0, t0)                # [5.28] = 3 x1 x2
-    t2 = M.mm(b3, z1, K)                      # [1.76] = b3 z1 (z2 = 1)
-    zz = M.modadd(t1, t2)                     # [3.52]
-    tt = M.modsub(t1, t2, K, 2)               # [3.76]
-    y5 = M.mm(b3, t5, K)                      # [1.76]
-    x3 = M.modsub(M.mm(t3, tt, K), M.mm(t4, y5, K), K, 2)   # [3.76]
-    y3 = M.modadd(M.mm(y5, t6, K), M.mm(tt, zz, K))         # [3.52]
-    z3 = M.modadd(M.mm(zz, t4, K), M.mm(t6, t3, K))         # [3.52]
+    t0 = a.mul(x1, x2)                    # [2]
+    t1 = a.mul(y1, y2)                    # [2]
+    s1 = a.add(x1, y1)                    # [<8]
+    s2 = a.add(x2, y2)                    # [2]
+    t3 = a.sub2(a.mul(s2, s1), t0, t1, 2, 2)      # [6]
+    t4 = a.add(a.mul(z1, y2), y1)         # [6]
+    t5 = a.add(a.mul(z1, x2), x1)         # [6]
+    t6 = a.add3(t0, t0, t0)               # [6]
+    t2 = a.mul(b3, z1)                    # [2]
+    zz = a.add(t1, t2)                    # [4]
+    tt = a.sub(t1, t2, 2)                 # [4]
+    y5 = a.mul(b3, t5)                    # [2]
+    x3 = a.sub(a.mul(t3, tt), a.mul(t4, y5), 2)   # [4]
+    y3 = a.add(a.mul(y5, t6), a.mul(tt, zz))      # [4]
+    z3 = a.add(a.mul(zz, t4), a.mul(t6, t3))      # [4]
     return (x3, y3, z3)
 
 
 def padd(ck: CurveK, p, q):
-    """Complete projective add (both coord sets < 4p): RCB16 Alg 7, a=0.
-    14 Montgomery muls. Output coords < 3.76p."""
-    K = ck.K
-    b3 = M._rows(ck.b3_t, p[0].shape[1:])
+    """Complete projective add: RCB16 Alg 7, a=0."""
+    a = ck.alg
+    b3 = a.const(ck.b3_t, p[0].shape[1:])
     x1, y1, z1 = p
     x2, y2, z2 = q
-    t0 = M.mm(x1, x2, K)                      # [1.76]
-    t1 = M.mm(y1, y2, K)                      # [1.76]
-    t2 = M.mm(z1, z2, K)                      # [1.76]
-    t3 = M.mm(M.modadd(x1, y1), M.modadd(x2, y2), K)        # [<8],[<8] -> [1.76]
-    t3 = M.modsub2(t3, t0, t1, K, 2, 2)       # [5.76]
-    t4 = M.mm(M.modadd(y1, z1), M.modadd(y2, z2), K)
-    t4 = M.modsub2(t4, t1, t2, K, 2, 2)       # [5.76]
-    t5 = M.mm(M.modadd(x1, z1), M.modadd(x2, z2), K)
-    t5 = M.modsub2(t5, t0, t2, K, 2, 2)       # [5.76]
-    t6 = M.modadd3(t0, t0, t0)                # [5.28]
-    t2b3 = M.mm(b3, t2, K)                    # [1.76]
-    zz = M.modadd(t1, t2b3)                   # [3.52]
-    tt = M.modsub(t1, t2b3, K, 2)             # [3.76]
-    y5 = M.mm(b3, t5, K)                      # [1.76]
-    x3 = M.modsub(M.mm(t3, tt, K), M.mm(t4, y5, K), K, 2)   # [3.76]
-    y3 = M.modadd(M.mm(y5, t6, K), M.mm(tt, zz, K))         # [3.52]
-    z3 = M.modadd(M.mm(zz, t4, K), M.mm(t6, t3, K))         # [3.52]
+    t0 = a.mul(x1, x2)
+    t1 = a.mul(y1, y2)
+    t2 = a.mul(z1, z2)
+    t3 = a.sub2(a.mul(a.add(x1, y1), a.add(x2, y2)), t0, t1, 2, 2)  # [6]
+    t4 = a.sub2(a.mul(a.add(y1, z1), a.add(y2, z2)), t1, t2, 2, 2)
+    t5 = a.sub2(a.mul(a.add(x1, z1), a.add(x2, z2)), t0, t2, 2, 2)
+    t6 = a.add3(t0, t0, t0)               # [6]
+    t2b3 = a.mul(b3, t2)                  # [2]
+    zz = a.add(t1, t2b3)                  # [4]
+    tt = a.sub(t1, t2b3, 2)               # [4]
+    y5 = a.mul(b3, t5)                    # [2]
+    x3 = a.sub(a.mul(t3, tt), a.mul(t4, y5), 2)   # [4]
+    y3 = a.add(a.mul(y5, t6), a.mul(tt, zz))      # [4]
+    z3 = a.add(a.mul(zz, t4), a.mul(t6, t3))      # [4]
     return (x3, y3, z3)
 
 
 def pdouble(ck: CurveK, p):
-    """Complete projective doubling (coords < 4p): RCB16 Alg 9, a=0.
-    5 muls + 2 squares. Output coords < 4p (y3 via one exact cond-subtract)."""
-    K = ck.K
-    b3 = M._rows(ck.b3_t, p[0].shape[1:])
+    """Complete projective doubling: RCB16 Alg 9, a=0."""
+    a = ck.alg
+    b3 = a.const(ck.b3_t, p[0].shape[1:])
     x, y, z = p
-    t0 = M.sqr(y, K)                          # [1.76]
-    t0q = M.modadd(M.modadd(t0, t0), M.modadd(t0, t0))      # [7.04] = 4y^2
-    t1 = M.mm(y, z, K)                        # [1.76]
-    t2 = M.mm(b3, M.sqr(z, K), K)             # [1.76]
-    x3h = M.mm(t2, t0q, K)                    # [1.76] = t2 * 4y^2
-    y3 = M.modadd(t0, t2)                     # [3.52]
-    z3 = M.modadd(*(M.mm(t1, t0q, K),) * 2)   # [3.52] = t1 * 8y^2
-    t2t = M.modadd3(t2, t2, t2)               # [5.28]
-    t0s = M.modsub(t0, t2t, K, 6)             # [7.76]
-    # y3 = t0s*y3 + 2*x3h: [1.76 + 3.52] = [5.28]; one exact -2p brings <3.28
-    y3 = M.modadd3(M.mm(t0s, y3, K), x3h, x3h)
-    y3 = M.cond_sub(y3, K, 2)                 # [3.28]
-    x3 = M.modadd(*(M.mm(t0s, M.mm(x, y, K), K),) * 2)      # [3.52]
+    t0 = a.sqr(y)                         # [2]
+    t0d = a.add(t0, t0)                   # [4] = 2y^2
+    t1 = a.mul(y, z)                      # [2]
+    t2 = a.mul(b3, a.sqr(z))              # [2]
+    xh = a.mul(t2, t0d)                   # [2] = 2 t2 y^2
+    w8 = a.cond_sub(a.add(a.add(xh, xh), a.add(xh, xh)), 4)   # 8 t2 y^2 [<4]
+    zh = a.mul(t1, t0d)                   # [2]
+    z3 = a.cond_sub(a.add(a.add(zh, zh), a.add(zh, zh)), 4)   # 8 t1 y^2 [<4]
+    y3m = a.add(t0, t2)                   # [4]
+    t2t = a.add3(t2, t2, t2)              # [6]
+    t0s = a.sub(t0, t2t, 6)               # [8] (strict: t0 < 2p)
+    y3 = a.cond_sub(a.add(a.mul(t0s, y3m), w8), 2)            # [<4]
+    xf = a.mul(t0s, a.mul(x, y))          # [2]
+    x3 = a.add(xf, xf)                    # [4]
     return (x3, y3, z3)
 
 
 def pneg(ck: CurveK, p):
-    """(x, -y, z); y < 4p -> 4p - y <= 4p (still a valid <4p-class input:
-    equality only when y == 0 mod p, and every consumer bound has slack)."""
-    return (p[0], M.neg(p[1], ck.K, 4), p[2])
+    """(x, -y, z); y < 4p -> 4p - y <= 4p (equality only when y == 0 mod p;
+    consumer bounds have slack)."""
+    return (p[0], ck.alg.neg(p[1], 4), p[2])
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +334,7 @@ def _tile_of(C: int):
 
 @lru_cache(maxsize=64)
 def _scan_call(ck: CurveK, L: int, C: int, L_blk: int, mixed: bool, interpret: bool):
-    n = ck.K.n
+    n = ck.rows
     Ct, sub = _tile_of(C)
     grid = (Ct, L // L_blk)
     blk = (n, L_blk, 1, sub, 128)
@@ -302,9 +436,14 @@ def _map_kernel(ck: CurveK, op: str, *refs):
     if op == "padd":
         x1, y1, z1, x2, y2, z2, ox, oy, oz = refs
         r = padd(ck, (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]))
-    else:
+    elif op.startswith("pdouble"):
+        times = int(op.split(":")[1])
         x1, y1, z1, ox, oy, oz = refs
-        r = pdouble(ck, (x1[:], y1[:], z1[:]))
+        r = jax.lax.fori_loop(
+            0, times, lambda _, p: pdouble(ck, p), (x1[:], y1[:], z1[:])
+        )
+    else:
+        raise AssertionError(op)
     ox[:] = r[0]
     oy[:] = r[1]
     oz[:] = r[2]
@@ -312,7 +451,7 @@ def _map_kernel(ck: CurveK, op: str, *refs):
 
 @lru_cache(maxsize=64)
 def _map_call(ck: CurveK, C: int, op: str, interpret: bool):
-    n = ck.K.n
+    n = ck.rows
     Ct, sub = _tile_of(C)
     blk = (n, 1, sub, 128)
     spec = pl.BlockSpec(blk, lambda ct: (0, ct, 0, 0))
@@ -326,6 +465,7 @@ def _map_call(ck: CurveK, C: int, op: str, interpret: bool):
             jax.ShapeDtypeStruct((n, Ct, sub, 128), I32) for _ in range(3)
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )
 
     def run(*coords):
@@ -344,8 +484,12 @@ def map_padd(ck: CurveK, p, q, mode: str = "pallas"):
     return _map_call(ck, C, "padd", mode == "interpret")(*p, *q)
 
 
-def map_pdouble(ck: CurveK, p, mode: str = "pallas"):
+def map_pdouble(ck: CurveK, p, mode: str = "pallas", times: int = 1):
+    """`times`-fold doubling fused in one kernel (window-combine phase)."""
     if mode == "xla":
-        return _pdouble_jit(ck)(p)
+        out = p
+        for _ in range(times):
+            out = _pdouble_jit(ck)(out)
+        return out
     C = p[0].shape[-1]
-    return _map_call(ck, C, "pdouble", mode == "interpret")(*p)
+    return _map_call(ck, C, f"pdouble:{times}", mode == "interpret")(*p)

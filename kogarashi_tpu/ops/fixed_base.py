@@ -34,22 +34,26 @@ class FixedBaseTable:
     """
 
     def __init__(self, curve, c: int = 8, bits: int = 256):
+        assert 1 <= c <= 16, "digit extraction merges at most one extra limb"
         self.curve = curve
         self.c = c
         self.n_windows = -(-bits // c)
         spec = curve.pyref_spec
+        from ..pyref.curve import ProjectivePoint, batch_to_affine
+
         g = spec.generator
+        base = ProjectivePoint(spec, g.x, g.y, spec.field_one())
         entries = []
-        base = g
         for w in range(self.n_windows):
-            acc = spec.identity_affine()
+            acc = spec.identity_projective()
             entries.append(acc)  # d = 0 placeholder (masked at lookup)
             for d in range(1, 1 << c):
-                acc = acc + base  # affine + affine -> affine (pyref)
+                acc = acc + base  # projective adds: no per-entry inversion
                 entries.append(acc)
             for _ in range(c):
-                base = base + base
-        self.points = curve.encode_points(entries)
+                base = base.double()
+        # one shared inversion for the whole table
+        self.points = curve.encode_points(batch_to_affine(entries))
         import jax
 
         self._mul_jit = jax.jit(self._mul)

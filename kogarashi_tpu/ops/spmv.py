@@ -31,16 +31,28 @@ def coo_matvec(coeffs, gather_idx, seg_idx, vec, num_segments: int, spec: FieldS
     return mont.reduce_relaxed(sums.T, spec)
 
 
+def _encode_coeffs(vals, spec: FieldSpec):
+    """Coefficient list/array -> (16, nnz) Montgomery limbs. Fast path: when
+    values repeat (typical R1CS — mostly +-1), encode the unique set once and
+    gather, instead of nnz Python bigint reductions."""
+    if isinstance(vals, np.ndarray) and vals.dtype != object:
+        uniq, inv = np.unique(vals, return_inverse=True)
+        if len(uniq) * 16 < len(vals):
+            table = spec.encode([int(u) for u in uniq])  # (u, 16)
+            return jnp.asarray(table[inv].T)
+        vals = [int(v) for v in vals]
+    return jnp.asarray(spec.encode(vals).T)
+
+
 def r1cs_matrices_device(cs, spec: FieldSpec):
     """Host R1CS -> device COO pytrees for A, B, C (jit-friendly dict)."""
     out = []
     for (ri, ci, vals) in cs.matrices_coo():
-        coeffs = jnp.asarray(spec.encode(vals).T)  # (16, nnz) Montgomery
         out.append(
             dict(
                 row=jnp.asarray(ri),
                 col=jnp.asarray(ci),
-                coeff=coeffs,
+                coeff=_encode_coeffs(vals, spec),
             )
         )
     return out

@@ -107,6 +107,32 @@ class AffinePoint:
         return f"{self.spec.name}({self.x!r}, {self.y!r})"
 
 
+def batch_to_affine(projs):
+    """Convert many ProjectivePoints to affine with ONE field inversion
+    (Montgomery's trick): 3(n-1) muls + 1 invert instead of n inverts."""
+    if not projs:
+        return []
+    spec = projs[0].spec
+    one = spec.field_one()
+    acc = one
+    prefix = []
+    for q in projs:
+        prefix.append(acc)
+        if not q.z.is_zero():
+            acc = acc * q.z
+    inv = acc.invert()
+    out = [None] * len(projs)
+    for i in range(len(projs) - 1, -1, -1):
+        q = projs[i]
+        if q.z.is_zero():
+            out[i] = spec.identity_affine()
+        else:
+            zinv = inv * prefix[i]
+            inv = inv * q.z
+            out[i] = AffinePoint(spec, q.x * zinv, q.y * zinv, False)
+    return out
+
+
 class ProjectivePoint:
     """Homogeneous projective (X:Y:Z); identity = (0:1:0). Complete formulas."""
 

@@ -196,3 +196,21 @@ def test_pallas_plumbing_interpret_matches_xla(rng):
     a = decode_point(G1, tuple(s[:, L - 1, :8] for s in S_int))
     b = decode_point(G1, tuple(s[:, L - 1, :8] for s in S_xla))
     assert a == b
+
+
+@pytest.mark.slow
+def test_msm_pallas_g2(rng):
+    """G2 (Fq2, ext=2) through the same driver — Karatsuba algebra layer."""
+    from kogarashi_tpu.curves import G2
+
+    n = 256
+    g = G2.pyref_spec.generator
+    base = [rng.randrange(1, C.R) * g for _ in range(16)]
+    pts = [base[i % 16] for i in range(n)]
+    pts[5] = G2.pyref_spec.identity_affine()
+    ks = [rng.randrange(C.R) for _ in range(n - 2)] + [0, C.R - 1]
+    x, y, inf, gen = prepare_points(G2, pts)
+    s = jnp.asarray(ints_to_limbs(ks).T)
+    out = msm_pallas(curve_k(G2), x, y, inf, s, c=8, gen_xy=gen, mode="xla")
+    got = decode_point(G2, out)[0]
+    assert got == _msm_oracle(pts, ks, C.R, G2)
