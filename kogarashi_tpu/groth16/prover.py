@@ -21,7 +21,6 @@ from ..curves import G1, G2
 from ..errors import ProverSubVersionCrsAttack
 from ..fields import FR_OPS
 from ..fields.spec import FR as FR_SPEC, ints_to_limbs
-from ..ops.msm import msm_jit
 from ..ops.msm_pallas import curve_k, decode_point, msm_pallas
 from ..ops.ntt import Domain
 from ..ops.spmv import matvec
@@ -66,24 +65,19 @@ class Prover:
         w_std = jnp.asarray(ints_to_limbs(cs.w).T)
         z_std = jnp.concatenate([x_std, w_std], axis=1)
 
-        def dec2(point):
-            return G2.decode_points(tuple(c[..., None] for c in point))[0]
-
         mode = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
-        ck = curve_k(G1)
 
-        def msm_g1(rows, scal):
+        def run_msm(curve, rows, scal):
             x, y, inf, gen = rows
             scal = scal.astype(jnp.uint32)
-            out = msm_pallas(ck, x, y, inf, scal, gen_xy=gen, mode=mode)
-            return decode_point(G1, out)[0]
+            out = msm_pallas(curve_k(curve), x, y, inf, scal, gen_xy=gen, mode=mode)
+            return decode_point(curve, out)[0]
 
-        msm_g2 = msm_jit(G2.cfg)
-        q_pt = msm_g1(p.h, q_std)
-        l_pt = msm_g1(p.l, w_std)
-        a_answer = msm_g1(p.a, z_std)
-        b1_answer = msm_g1(p.b_g1, z_std)
-        b2_answer = dec2(msm_g2(p.b_g2, z_std))
+        q_pt = run_msm(G1, p.h, q_std)
+        l_pt = run_msm(G1, p.l, w_std)
+        a_answer = run_msm(G1, p.a, z_std)
+        b1_answer = run_msm(G1, p.b_g1, z_std)
+        b2_answer = run_msm(G2, p.b_g2, z_std)
 
         vk = p.vk
         if vk.delta_g1.is_infinity or vk.delta_g2.is_infinity:

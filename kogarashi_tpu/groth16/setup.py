@@ -125,7 +125,7 @@ def setup(circuit: Circuit, rng: random.Random | None = None):
         l=g1_queries_to_rows(G1, l_query),
         a=g1_queries_to_rows(G1, a_query),
         b_g1=g1_queries_to_rows(G1, b_g1_query),
-        b_g2=b_g2_query,
+        b_g2=g1_queries_to_rows(G2, b_g2_query),
         l_pub=l_pub,
         n=n,
         mats=mats,

@@ -97,6 +97,17 @@ class PedersenCommitment:
             self._rows = prepare_points(self.curve, self._g_list)
         self._ck = curve_k(self.curve)
         self._mode = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        if self._mode == "pallas":
+            # one jitted executable per key: keeps the whole MSM inside XLA
+            # (eager pallas dispatch on the axon backend leaks host buffers)
+            from functools import partial
+
+            x, y, inf, gen = self._rows
+            self._commit_jit = jax.jit(
+                partial(msm_pallas, self._ck, x, y, inf, gen_xy=gen, mode="pallas")
+            )
+        else:
+            self._commit_jit = None
 
     @property
     def g(self):
@@ -125,8 +136,11 @@ class PedersenCommitment:
         assert len(m) <= n, "message longer than materialized commitment key"
         scalars = list(m) + [0] * (n - len(m))
         s_dev = jnp.asarray(ints_to_limbs(scalars).T)
-        x, y, inf, gen = self._rows
-        out = msm_pallas(self._ck, x, y, inf, s_dev, gen_xy=gen, mode=self._mode)
+        if self._commit_jit is not None:
+            out = self._commit_jit(s_dev)
+        else:
+            x, y, inf, gen = self._rows
+            out = msm_pallas(self._ck, x, y, inf, s_dev, gen_xy=gen, mode=self._mode)
         return decode_point(self.curve, out)[0]
 
     def commit_host(self, m: list):

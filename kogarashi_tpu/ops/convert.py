@@ -66,26 +66,37 @@ def _to_rows_jit(curve_name: str):
     # radix-raise constant: 2^264 mod p in 13-bit Montgomery strict limbs
     c_limbs = M.limbs13((1 << 264) % ck.K.p, ck.K.n)
 
-    def run(pt):
-        ax, ay, inf = P.to_affine(curve.cfg, pt)  # 16-bit, R=2^256
+    def conv_coord(a16):
         cst = jnp.asarray(np.array(c_limbs, np.int32)).reshape(20, 1)
         # mm output is < 1.76p; one conditional subtract restores the
         # canonical (< p) form the MSM driver's bound proofs require
-        x13 = M.cond_sub(M.mm(repack16to13(ax), cst, ck.K), ck.K, 1)
-        y13 = M.cond_sub(M.mm(repack16to13(ay), cst, ck.K), ck.K, 1)
-        return x13.T, y13.T, inf
+        if ck.ext == 1:
+            return M.cond_sub(M.mm(repack16to13(a16), cst, ck.K), ck.K, 1).T
+        comps = [
+            M.cond_sub(M.mm(repack16to13(a16[e]), cst, ck.K), ck.K, 1)
+            for e in range(ck.ext)
+        ]
+        return jnp.concatenate(comps).T  # (n, ext*20)
+
+    def run(pt):
+        ax, ay, inf = P.to_affine(curve.cfg, pt)  # 16-bit, R=2^256
+        return conv_coord(ax), conv_coord(ay), inf
 
     return jax.jit(run)
 
 
 def g1_queries_to_rows(curve, pts_projective):
     """Device projective 16-bit point batch -> (x_rows, y_rows, inf, gen_xy)
-    in the Pallas MSM input format."""
+    in the Pallas MSM input format (G1/Grumpkin ext=1 and G2 ext=2)."""
     x_rows, y_rows, inf = _to_rows_jit(curve.cfg.name)(pts_projective)
     g = curve.pyref_spec.generator
     p, R = curve.cfg.alg.spec.p, 1 << 260
-    gen_xy = (
-        np.array(M.limbs13((g.x.v * R) % p, 20), np.int32),
-        np.array(M.limbs13((g.y.v * R) % p, 20), np.int32),
-    )
+
+    def pack(v):
+        comps = [v.v] if not hasattr(v, "c0") else [v.c0.v, v.c1.v]
+        return np.concatenate(
+            [np.array(M.limbs13((cv * R) % p, 20), np.int32) for cv in comps]
+        )
+
+    gen_xy = (pack(g.x), pack(g.y))
     return x_rows, y_rows, inf, gen_xy

@@ -91,6 +91,20 @@ def _table(curve_name: str, c: int):
     return FixedBaseTable(curve, c=c)
 
 
-def fixed_base_mul(curve, std_scalars, c: int = 8):
-    """[k_i] G for (16, n) standard-form device limbs over `curve`'s generator."""
-    return _table(curve.cfg.name, c).mul(std_scalars)
+def fixed_base_mul(curve, std_scalars, c: int = 8, chunk: int = 1 << 17):
+    """[k_i] G for (16, n) standard-form device limbs over `curve`'s generator.
+
+    Processed in <= `chunk`-wide pieces: the windowed evaluation holds
+    ~n_windows live (16, n) buffers, which at 2^20 scalars exceeds HBM."""
+    import jax.numpy as jnp
+
+    t = _table(curve.cfg.name, c)
+    n = std_scalars.shape[-1]
+    if n <= chunk:
+        return t.mul(std_scalars)
+    parts = [
+        t.mul(std_scalars[..., i : i + chunk]) for i in range(0, n, chunk)
+    ]
+    return tuple(
+        jnp.concatenate([p[k] for p in parts], axis=-1) for k in range(3)
+    )

@@ -4,26 +4,29 @@ Pipeline (per c-bit signed window; reference algorithm: groth16/src/msm.rs:6-91,
 reformulated for uniform SIMD control flow):
 
   1. signed digit recode (halves the bucket count; EC negation is free)
-  2. kv-sort (digit, index) — XLA sort
-  3. row-gather the affine points into the sorted order, laid out as
-     (limb, scan-pos, chunk) so each scan step is a full-lane vector op
+  2. payload-carrying sort: the points ride through `lax.sort` as packed
+     u32 columns (two 13-bit limbs per word), so sorting IS the data
+     movement — measured ~9 ms/window at 2^20 vs 45-70 ms for the
+     index-sort + row-gather formulation it replaced
+  3. unpack sorted columns into the (limb, scan-pos, chunk) scan layout
   4. `scan_mixed` Pallas kernel: per-chunk inclusive prefix sums under mixed
      EC addition — n point-adds, all limb math in VMEM (ops/ec_pallas.py)
   5. chunk totals -> recursive `scan_proj` prefix (the cross-chunk offsets)
   6. bucket_b = S[tail_b] - S[start_b - 1]  (difference trick: every scanned
      element is a valid group element, so per-segment differences are exact)
   7. G_w = sum_b b * bucket_b via suffix prefix + reduction
-  8. combine windows MSB-first (c doublings + 1 add per window)
+  8. combine windows MSB-first (c fused doublings + 1 add per window)
 
 Identity inputs are replaced by the curve generator with digit 0 — bucket 0 is
 never consumed, and keeping every lane a valid group element is what makes the
 difference trick sound.
 
-Input format: element-major affine rows (n, 20) int32 limbs in the engine's
-13-bit Montgomery form (R' = 2^260; see fields/mont_pallas.py), an (n,)
-infinity mask, and (16, n) uint32 standard-form scalars (16-bit limbs; only
-digit extraction reads them). Element-major rows make the per-window gather a
-contiguous 80-byte row fetch instead of 20 strided 4-byte reads.
+Input format: element-major affine rows (n, rows) int32 limbs in the
+engine's 13-bit Montgomery form (R' = 2^260; see fields/mont_pallas.py) with
+rows = 20 for G1/Grumpkin and 40 (c0 then c1) for G2, an (n,) infinity mask,
+and (16, n) uint32 standard-form scalars (16-bit limbs; only digit
+extraction reads them). The whole pipeline is generic over the coefficient
+algebra (ec_pallas.CurveK.ext).
 """
 
 from __future__ import annotations
@@ -197,9 +200,11 @@ def default_window(n: int) -> int:
 
 
 def _pick_L(n: int) -> int:
-    """Scan depth: n = L * C with C a multiple of 128; favour C ~ 8192."""
+    """Scan depth: n = L * C with C a multiple of full tiles (1024 lanes
+    when possible); favour deep scans (fewer cross-chunk totals)."""
+    grain = 1024 if n % 1024 == 0 else 128
     for L in (128, 64, 32, 16, 8, 4, 2, 1):
-        if n % (L * 128) == 0 and n // L >= 128:
+        if n % (L * grain) == 0 and n // L >= grain:
             return L
     return 1
 
@@ -224,8 +229,17 @@ def msm_pallas(
     n = x_rows.shape[0]
     if c is None:
         c = default_window(n)
-    if n % 128:  # pad to a lane multiple with identity rows (zero scalars)
-        pad = 128 - n % 128
+    # pad with identity rows (zero scalars) so n = L * C with C a multiple
+    # of full (8, 128) VPU tiles and L the deepest fitting scan, keeping
+    # waste under ~6%
+    quantum = 128
+    for Lq in (128, 64, 32, 16, 8, 4, 2, 1):
+        q = Lq * 1024
+        if (-n) % q <= max(n // 16, 128) and (n + (-n) % q) // Lq >= 1024:
+            quantum = q
+            break
+    if n % quantum:
+        pad = quantum - n % quantum
         x_rows = jnp.concatenate([x_rows, jnp.zeros((pad, nl), I32)])
         y_rows = jnp.concatenate([y_rows, jnp.zeros((pad, nl), I32)])
         inf = jnp.concatenate([inf, jnp.ones((pad,), bool)])
@@ -332,7 +346,7 @@ def msm_pallas(
         B = E.map_padd(
             ck,
             S_tail,
-            (S_before[0], M.neg(S_before[1], ck.K, 4), S_before[2]),
+            (S_before[0], ck.alg.neg(S_before[1], 4), S_before[2]),
             mode=mode,
         )
         idp = E.identity_tile(ck, (nbp,))
@@ -347,7 +361,7 @@ def msm_pallas(
         G_w = E.map_padd(
             ck,
             _pad_points(ck, tot, 128),
-            _pad_points(ck, (T0[0], M.neg(T0[1], ck.K, 4), T0[2]), 128),
+            _pad_points(ck, (T0[0], ck.alg.neg(T0[1], 4), T0[2]), 128),
             mode=mode,
         )
         return None, tuple(g[..., 0:1] for g in G_w)

@@ -8,8 +8,12 @@ from kogarashi_tpu.fields.spec import ints_to_limbs
 from kogarashi_tpu.ops.fixed_base import FixedBaseTable
 
 
-def test_fixed_base_g1(rng):
-    t = FixedBaseTable(G1, c=8)
+import pytest
+
+
+@pytest.mark.parametrize("c", [8, 13])  # c=13 straddles 16-bit limb edges
+def test_fixed_base_g1(rng, c):
+    t = FixedBaseTable(G1, c=c)
     ks = [0, 1, 2, C.R - 1, 1 << 128] + [rng.randrange(C.R) for _ in range(11)]
     out = t.mul(jnp.asarray(ints_to_limbs(ks).T))
     got = G1.decode_points(out)

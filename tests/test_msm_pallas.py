@@ -105,6 +105,7 @@ def test_map_padd_pdouble_vs_pyref(rng):
         assert got[j] == pts[j % 9] + pts[j % 9], j
 
 
+@pytest.mark.slow
 def test_scan_mixed_vs_pyref(rng):
     """Per-chunk prefix sums: L=4, C=128 with repeated + adversarial points."""
     ck = curve_k(G1)
@@ -134,15 +135,19 @@ def _msm_oracle(pts, ks, order, curve):
     return acc
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "curve,order,n,c",
     [
         (G1, C.R, 512, 8),
+        (G1, C.R, 512, 12),
         (G1, C.R, 512, 13),
+        (G1, C.R, 512, 16),
         (G1, C.R, 1024, 6),
         (GRUMPKIN, C.Q, 512, 8),
     ],
-    ids=["g1-512-c8", "g1-512-c13", "g1-1024-c6", "grumpkin-512-c8"],
+    ids=["g1-512-c8", "g1-512-c12", "g1-512-c13", "g1-512-c16",
+         "g1-1024-c6", "grumpkin-512-c8"],
 )
 def test_msm_pallas_vs_oracle(curve, order, n, c, rng):
     g = curve.pyref_spec.generator
@@ -180,6 +185,7 @@ def test_signed_digits_reconstruct(rng):
             assert all(abs(int(d[w, j])) <= 1 << (c - 1) for w in range(n_windows))
 
 
+@pytest.mark.slow
 def test_pallas_plumbing_interpret_matches_xla(rng):
     """One small true-interpret run validates the BlockSpec/grid/scratch
     plumbing of the real kernels against the pure-XLA executor."""
