@@ -27,6 +27,48 @@ from ..ops.spmv import matvec
 from .circuit import Circuit
 from .keys import Parameters, Proof
 
+# One jitted MSM executable per (curve, padded size, window): the proof's
+# G1 MSMs (h: n-1, l: m_l_1, a/b: wires) are padded up to a shared
+# power-of-two-friendly size so they all hit the same compiled kernel (and
+# the same persistent-cache entry as bench.py at 2^20).
+_MSM_JIT: dict = {}
+
+
+def _pad_pow2(n: int) -> int:
+    """Pad target: next multiple of 2^13 (keeps msm_pallas's internal pad a
+    no-op at large sizes and collapses n-1/m/wires variants onto one shape)."""
+    if n >= (1 << 17):
+        q = 1 << 16
+    elif n >= (1 << 13):
+        q = 1 << 13
+    else:
+        q = 1 << 10
+    return -(-n // q) * q
+
+
+def _msm_call(curve, x, y, inf, scal, gen, mode: str, c=None):
+    """Pad inputs (identity points, zero scalars) to the shared shape and run
+    through a cached jit (pallas) or eagerly (xla/interpret test modes)."""
+    n = x.shape[0]
+    target = _pad_pow2(n) if mode == "pallas" else n
+    if target != n:
+        pad = target - n
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, pad), (0, 0)))
+        inf = jnp.concatenate([inf, jnp.ones((pad,), bool)])
+        scal = jnp.pad(scal, ((0, 0), (0, pad)))
+    ck = curve_k(curve)
+    if mode != "pallas":
+        return msm_pallas(ck, x, y, inf, scal, c=c, gen_xy=gen, mode=mode)
+    key = (curve.cfg.name, target, c)
+    fn = _MSM_JIT.get(key)
+    if fn is None:
+        from functools import partial
+
+        fn = jax.jit(partial(msm_pallas, ck, c=c, gen_xy=gen, mode=mode))
+        _MSM_JIT[key] = fn
+    return fn(x, y, inf, scal)
+
 
 class Prover:
     def __init__(self, params: Parameters):
@@ -67,17 +109,20 @@ class Prover:
 
         mode = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
-        def run_msm(curve, rows, scal):
+        def run_msm(curve, rows, scal, c=None):
             x, y, inf, gen = rows
             scal = scal.astype(jnp.uint32)
-            out = msm_pallas(curve_k(curve), x, y, inf, scal, gen_xy=gen, mode=mode)
+            out = _msm_call(curve, x, y, inf, scal, gen, mode, c)
             return decode_point(curve, out)[0]
 
         q_pt = run_msm(G1, p.h, q_std)
         l_pt = run_msm(G1, p.l, w_std)
         a_answer = run_msm(G1, p.a, z_std)
         b1_answer = run_msm(G1, p.b_g1, z_std)
-        b2_answer = run_msm(G2, p.b_g2, z_std)
+        # G2 limb rows are 2x G1's: a narrower window (c=13 -> 4097 buckets
+        # instead of 32769) cuts the bucket-phase trace/compile ~8x for a
+        # ~25% longer scan phase — the right trade for a once-per-proof MSM
+        b2_answer = run_msm(G2, p.b_g2, z_std, c=13 if mode == "pallas" else None)
 
         vk = p.vk
         if vk.delta_g1.is_infinity or vk.delta_g2.is_infinity:

@@ -102,9 +102,12 @@ def fixed_base_mul(curve, std_scalars, c: int = 8, chunk: int = 1 << 17):
     n = std_scalars.shape[-1]
     if n <= chunk:
         return t.mul(std_scalars)
+    if n % chunk:  # pad the tail chunk to a uniform shape: one compile total
+        std_scalars = jnp.pad(std_scalars, ((0, 0), (0, chunk - n % chunk)))
     parts = [
-        t.mul(std_scalars[..., i : i + chunk]) for i in range(0, n, chunk)
+        t.mul(std_scalars[..., i : i + chunk])
+        for i in range(0, std_scalars.shape[-1], chunk)
     ]
     return tuple(
-        jnp.concatenate([p[k] for p in parts], axis=-1) for k in range(3)
+        jnp.concatenate([p[k] for p in parts], axis=-1)[..., :n] for k in range(3)
     )

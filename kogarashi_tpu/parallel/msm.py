@@ -75,3 +75,59 @@ def distributed_msm(
 
 def distributed_msm_jit(cfg: CurveCfg, mesh: Mesh, c: int | None = None):
     return jax.jit(partial(distributed_msm, cfg, mesh=mesh, c=c))
+
+
+def distributed_msm_pallas(
+    curve,
+    x_rows,
+    y_rows,
+    inf,
+    scalars,
+    gen_xy,
+    mesh: Mesh,
+    c: int | None = None,
+    axis: str = "shard",
+    mode: str = "pallas",
+):
+    """Flagship-engine distributed MSM: shard the *points* of the 13-bit-row
+    Pallas Pippenger (ops/msm_pallas.py) over the mesh.
+
+    x_rows/y_rows: (n, rows) i32; inf: (n,) bool; scalars: (16, n) u32 —
+    split on the point axis; each device runs the full local sort/scan
+    Pippenger on its n/D points, then one all_gather of a single projective
+    point per device + a (D-1)-add fold. Collective traffic is O(D * rows),
+    independent of n, so local work (n/D point-adds per scan) is conserved:
+    total adds across devices == the 1-device count.
+
+    mode='xla' drives the same engine through its pure-XLA executor (the
+    virtual-CPU-mesh test path); 'pallas' is the TPU path.
+    """
+    from ..ops import ec_pallas as E
+    from ..ops.msm_pallas import curve_k
+
+    ck = curve_k(curve)
+    nd = mesh.shape[axis]
+    n = scalars.shape[-1]
+    assert n % nd == 0, f"n={n} not divisible by mesh size {nd}"
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(None, axis)),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def local(xl, yl, infl, scall):
+        from ..ops.msm_pallas import msm_pallas
+
+        part = msm_pallas(ck, xl, yl, infl, scall, c=c, gen_xy=gen_xy, mode=mode)
+        # part: three (rows, 1) coords -> all_gather one point per device
+        gathered = tuple(
+            jax.lax.all_gather(coords, axis, axis=2) for coords in part
+        )  # (rows, 1, nd)
+        acc = tuple(g[..., 0] for g in gathered)
+        for d in range(1, nd):
+            acc = E.map_padd(ck, acc, tuple(g[..., d] for g in gathered), mode=mode)
+        return acc
+
+    return local(x_rows, y_rows, inf, scalars)

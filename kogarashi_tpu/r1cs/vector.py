@@ -61,22 +61,30 @@ class VecR1CS:
 
 
 class SquareChainCircuit:
-    """Benchmark circuit: m repeated squarings w_{i+1} = w_i^2 with the seed
-    and final value public — m constraints, 3m single-entry COO terms, O(m)
-    host work. Drop-in for `groth16.setup(circuit)` at 2^20 gates."""
+    """Benchmark circuit: repeated squarings w_{i+1} = w_i^2 with the seed
+    and final value public — m constraints, <=3m single-entry COO terms, O(m)
+    host work. Drop-in for `groth16.setup(circuit)` at 2^20 gates.
+
+    The chain is m-2 squarings plus two 1*1=1 padding constraints on the
+    constant wire, so that BOTH the constraint count and the wire count
+    (l + m_l_1 = 3 + (m-3)) equal m exactly. With m a power of two, every
+    prover MSM (h: n-1, l: m-3, a/b: m wires) pads to the same 2^k shape —
+    one compiled MSM executable serves the whole proof."""
 
     def __init__(self, m: int, x0: int = 3, p: int | None = None):
         from .. import constants as C
 
+        assert m >= 3
         self.m = m
         self.p = p or C.R
         self.x0 = x0 % self.p
 
     def build(self) -> VecR1CS:
         p, m = self.p, self.m
+        mc = m - 2  # squaring-chain length
         chain = [self.x0]
         v = self.x0
-        for _ in range(m):
+        for _ in range(mc):
             v = v * v % p
             chain.append(v)
         # wires: x = [1, x0, out]; w = chain[1:-1] (intermediate squares)
@@ -84,18 +92,17 @@ class SquareChainCircuit:
         w = chain[1:-1]
         l = 3
 
-        def col_of(i):  # wire holding chain[i]
-            if i == 0:
-                return 1
-            if i == m:
-                return 2
-            return l + i - 1
-
-        idx = np.arange(m, dtype=np.int32)
+        idx = np.arange(mc, dtype=np.int32)
         cols_in = np.where(idx == 0, 1, l + idx - 1).astype(np.int32)
-        cols_out = np.where(idx == m - 1, 2, l + idx).astype(np.int32)
-        ones = np.ones(m, dtype=np.int64)
-        rows = (idx, idx, idx)
-        cols = (cols_in, cols_in, cols_out)
+        cols_out = np.where(idx == mc - 1, 2, l + idx).astype(np.int32)
+        # two padding rows 1*1 = 1 on the constant wire (indices mc, mc+1)
+        rows_all = np.concatenate([idx, np.array([mc, mc + 1], np.int32)])
+        pad_cols = np.zeros(2, np.int32)
+        cols_a = np.concatenate([cols_in, pad_cols])
+        cols_b = np.concatenate([cols_in, pad_cols])
+        cols_c = np.concatenate([cols_out, pad_cols])
+        ones = np.ones(mc + 2, dtype=np.int64)
+        rows = (rows_all, rows_all, rows_all)
+        cols = (cols_a, cols_b, cols_c)
         vals = (ones, ones, ones)
         return VecR1CS(p, x, w, rows, cols, vals, m)

@@ -27,6 +27,7 @@ PINNED_PROOF_DIGEST = "efbe9c472ba1798d4ae8fd5a00d29ca33eeffca923a4b01e28dca463f
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_three_steps_ivc_fixed_seed():
     rng = XorShiftRng.from_seed(REFERENCE_TEST_SEED)
     pp = PublicParams.setup(ExampleFunction, ExampleFunction, rng)

@@ -106,6 +106,7 @@ def test_map_padd_pdouble_vs_pyref(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_scan_mixed_vs_pyref(rng):
     """Per-chunk prefix sums: L=4, C=128 with repeated + adversarial points."""
     ck = curve_k(G1)
@@ -139,12 +140,12 @@ def _msm_oracle(pts, ks, order, curve):
 @pytest.mark.parametrize(
     "curve,order,n,c",
     [
-        (G1, C.R, 512, 8),
-        (G1, C.R, 512, 12),
-        (G1, C.R, 512, 13),
-        (G1, C.R, 512, 16),
-        (G1, C.R, 1024, 6),
-        (GRUMPKIN, C.Q, 512, 8),
+        (G1, C.R, 512, 8),  # default-run smoke case; full matrix is nightly
+        pytest.param(G1, C.R, 512, 12, marks=pytest.mark.nightly),
+        pytest.param(G1, C.R, 512, 13, marks=pytest.mark.nightly),
+        pytest.param(G1, C.R, 512, 16, marks=pytest.mark.nightly),
+        pytest.param(G1, C.R, 1024, 6, marks=pytest.mark.nightly),
+        pytest.param(GRUMPKIN, C.Q, 512, 8, marks=pytest.mark.nightly),
     ],
     ids=["g1-512-c8", "g1-512-c12", "g1-512-c13", "g1-512-c16",
          "g1-1024-c6", "grumpkin-512-c8"],
@@ -205,6 +206,7 @@ def test_pallas_plumbing_interpret_matches_xla(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_msm_pallas_g2(rng):
     """G2 (Fq2, ext=2) through the same driver — Karatsuba algebra layer."""
     from kogarashi_tpu.curves import G2

@@ -15,6 +15,7 @@ from kogarashi_tpu.nova import ExampleFunction, Ivc, PublicParams
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_ivc_two_steps_and_tamper():
     pp = PublicParams.setup(ExampleFunction, ExampleFunction, random.Random(99))
     ivc = Ivc(pp, z0_primary=[0], z0_secondary=[0])
