@@ -52,7 +52,7 @@ def timeit(fn, *args, reps=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     ap.add_argument("--log-n-msm", type=int, default=14)
     ap.add_argument("--log-n-ntt", type=int, default=16)
     args = ap.parse_args()
@@ -63,14 +63,23 @@ def main():
     from kogarashi_tpu.curves import G1
     from kogarashi_tpu.fields import FR_OPS
     from kogarashi_tpu.fields.spec import ints_to_limbs
-    from kogarashi_tpu.parallel.msm import distributed_msm_jit, make_mesh
+    from kogarashi_tpu.parallel.msm import make_mesh
     from kogarashi_tpu.parallel.ntt import DistributedDomain
+
+    from functools import partial
+
+    from kogarashi_tpu.ops.msm_pallas import prepare_points
+    from kogarashi_tpu.parallel.msm import distributed_msm_pallas
 
     rng = random.Random(11)
     n = 1 << args.log_n_msm
     g = G1.pyref_spec.generator
-    base = G1.encode_points([rng.randrange(1, C.R) * g for _ in range(64)])
-    pts = tuple(jnp.tile(c_, (1,) * (c_.ndim - 1) + (n // 64,)) for c_ in base)
+    x64, y64, inf64, gen = prepare_points(
+        G1, [rng.randrange(1, C.R) * g for _ in range(64)]
+    )
+    x = jnp.tile(x64, (n // 64, 1))
+    y = jnp.tile(y64, (n // 64, 1))
+    inf = jnp.tile(inf64, (n // 64,))
     sc = np.random.default_rng(3).integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
     sc[15] &= 0x3FFF
     sc = jnp.asarray(sc)
@@ -81,15 +90,21 @@ def main():
     )
     coeffs = coeffs.at[15].set(coeffs[15] & 0x3FF)
 
+    from kogarashi_tpu.ops.msm_pallas import decode_point
+
     counts = [1, 2, 4, 8]
     msm_t, ntt_t = {}, {}
     ref_point = None
     for d in counts:
         mesh = make_mesh(d)
-        fn = distributed_msm_jit(G1.cfg, mesh, c=12)
-        t = timeit(fn, pts, sc)
-        out = fn(pts, sc)
-        pt = G1.decode_points(tuple(c_[..., None] for c_ in out))[0]
+        fn = jax.jit(
+            partial(
+                distributed_msm_pallas, G1, gen_xy=gen, mesh=mesh, c=12, mode="xla"
+            )
+        )
+        t = timeit(fn, x, y, inf, sc, reps=2)
+        out = fn(x, y, inf, sc)
+        pt = decode_point(G1, tuple(c_[..., 0:1] for c_ in out))[0]
         if ref_point is None:
             ref_point = pt
         assert pt == ref_point, f"distributed MSM result drift at d={d}"
@@ -101,25 +116,29 @@ def main():
         ntt_t[d] = t
 
     result = {
-        "round": 3,
+        "round": 5,
+        "engine": "ops/msm_pallas (flagship 13-bit sort/scan Pippenger, xla executor)",
         "hardware": "virtual 8-device CPU mesh (single physical TPU chip on this box)",
         "caveat": (
-            "virtual-mesh devices share host cores: numbers validate sharding/"
-            "collective structure and result parity, not real multi-chip speedup"
+            "virtual-mesh devices share host cores, so the ideal multi-device "
+            "wall time is FLAT (work conservation), not 1/D: "
+            "work_conservation = t_1dev / t_Ddev, ideal 1.0. Values near 1 "
+            "mean sharding adds no extra total work or collective overhead; "
+            "real-hardware speedup needs real chips (see bench.py for 1-chip)"
         ),
         "msm": {
             "log_n": args.log_n_msm,
             "times_s": {str(d): msm_t[d] for d in counts},
-            "efficiency_vs_1dev": {
-                str(d): msm_t[1] / (d * msm_t[d]) for d in counts
+            "work_conservation_vs_1dev": {
+                str(d): msm_t[1] / msm_t[d] for d in counts
             },
             "result_parity": True,
         },
         "ntt": {
             "log_n": args.log_n_ntt,
             "times_s": {str(d): ntt_t[d] for d in counts},
-            "efficiency_vs_1dev": {
-                str(d): ntt_t[1] / (d * ntt_t[d]) for d in counts
+            "work_conservation_vs_1dev": {
+                str(d): ntt_t[1] / ntt_t[d] for d in counts
             },
         },
     }

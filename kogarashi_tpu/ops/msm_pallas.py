@@ -218,6 +218,7 @@ def msm_pallas(
     c: int | None = None,
     gen_xy=None,
     mode: str = "pallas",
+    scan_windows: bool = False,
 ):
     """sum_i scalars[i] * P_i on one chip.
 
@@ -367,11 +368,16 @@ def msm_pallas(
         return None, tuple(g[..., 0:1] for g in G_w)
 
     # one traced window body (lax.scan) instead of n_windows unrolled copies:
-    # same kernels, ~n_windows-times faster XLA compiles
-    if mode == "pallas":
+    # same kernels, ~n_windows-times faster XLA compiles. The xla executor
+    # joins this path when the caller asks for it (scan_windows=True — the
+    # traced/shard_map contexts, where a python loop would unroll n_windows
+    # copies into one giant program); eagerly it keeps the python loop so
+    # each small kernel jit stays individually cached. True-interpret always
+    # loops (pallas interpret kernels don't nest under scan).
+    if mode == "pallas" or (scan_windows and mode == "xla"):
         _, Gs_st = jax.lax.scan(window_body, None, digits)
         Gs = [tuple(g[w] for g in Gs_st) for w in range(n_windows)]
-    else:  # xla/interpret modes drive eager leaf jits; keep the python loop
+    else:
         Gs = [window_body(None, digits[w])[1] for w in range(n_windows)]
 
     # MSB-first combine: acc = 2^c * acc + G_w (c doublings fused per kernel)

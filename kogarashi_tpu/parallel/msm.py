@@ -120,7 +120,11 @@ def distributed_msm_pallas(
     def local(xl, yl, infl, scall):
         from ..ops.msm_pallas import msm_pallas
 
-        part = msm_pallas(ck, xl, yl, infl, scall, c=c, gen_xy=gen_xy, mode=mode)
+        part = msm_pallas(
+            ck, xl, yl, infl, scall, c=c, gen_xy=gen_xy, mode=mode,
+            scan_windows=True,  # inside shard_map everything is traced:
+            # a python window loop would unroll n_windows copies
+        )
         # part: three (rows, 1) coords -> all_gather one point per device
         gathered = tuple(
             jax.lax.all_gather(coords, axis, axis=2) for coords in part

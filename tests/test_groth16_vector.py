@@ -22,6 +22,7 @@ def test_square_chain_shape_and_sat():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_square_chain_prove_verify():
     circuit = SquareChainCircuit(64, x0=7)
     prover, verifier = setup(circuit, random.Random(11))
